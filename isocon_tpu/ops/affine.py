@@ -1,0 +1,269 @@
+"""Batched banded affine-gap semi-global alignment with traceback.
+
+TPU-native replacement for parasail ``sg_trace_scan_16``
+(``SW_alignment_module.py:64-86``): same anti-diagonal band geometry as
+``wavefront.py`` but maximizing an affine score with three state planes
+
+    H[i][j] = max(H[i-1][j-1] + s(i,j), E[i][j], F[i][j])
+    E[i][j] = max(H[i][j-1] - open, E[i][j-1] - ext)   # gap consuming s2
+    F[i][j] = max(H[i-1][j] - open, F[i-1][j] - ext)   # gap consuming s1
+
+with free end gaps in both sequences (H[i][0] = H[0][j] = 0, score = max
+over last row + last column).  A gap of length g costs open + (g-1)*ext,
+parasail's convention.
+
+Traceback: the kernel emits 4 direction bits per band cell per diagonal
+(2 for H's argmax with the pinned preference diag > E > F; 1 each for
+E/F open-vs-extend, preference open).  The packed [B, steps, Wp] uint8
+tensor is decoded on the host (``decode_traceback``) by walking from the
+best endpoint; ~n+m steps per pair.
+
+Oracle: ``oracle.align_semi_global`` (same pinned tie-breaks).
+
+Band validity: the caller supplies a band wide enough for the optimal
+path; ``decode_traceback`` raises BandOverflow if the walk ever touches a
+band edge lane, and the driver re-runs the pair with a wider band.
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .encode import PAD
+
+NEG = np.int16(-16000)
+QPAD = 5
+TPAD = 6
+
+# H-direction codes (bits 0-1)
+H_DIAG = 0
+H_FROME = 1
+H_FROMF = 2
+H_START = 3  # boundary cell (free end gap start)
+# bit 2: E opened here; bit 3: F opened here
+
+
+@functools.partial(jax.jit, static_argnames=("Wp", "L"))
+def banded_sg_align(qcodes, tcodes, qlen, tlen, match, mismatch, gopen, gext,
+                    *, Wp: int, L: int):
+    """Semi-global affine alignment scores + packed traceback.
+
+    Args:
+      qcodes/tcodes: [B, L] int8; qlen/tlen: [B] int32.
+      match/mismatch/gopen/gext: [B] int16 per-pair scores (mismatch<0,
+        gopen/gext >= 0 as penalties).
+    Returns:
+      best [B] int32 final score, end_i [B], end_j [B] (endpoint on last
+      row/col; ties prefer larger i then larger j), dirs [B, steps, Wp]
+      uint8 packed directions, for diagonals d = 2 .. 2L.
+    """
+    B = qcodes.shape[0]
+    o_lo = -(Wp // 2 - 1)
+    o_vec = o_lo + jax.lax.broadcasted_iota(jnp.int32, (1, Wp), 1)
+
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    q = jnp.where(pos < qlen[:, None], qcodes.astype(jnp.int16), QPAD)
+    t = jnp.where(pos < tlen[:, None], tcodes.astype(jnp.int16), TPAD)
+
+    P0 = Wp + 2
+    qe = jnp.repeat(q, 2, axis=1)[:, ::-1]
+    te = jnp.repeat(t, 2, axis=1)
+    QP = jnp.pad(qe, ((0, 0), (P0, P0)), constant_values=QPAD)
+    TP = jnp.pad(te, ((0, 0), (P0, P0)), constant_values=TPAD)
+
+    matchv = match[:, None].astype(jnp.int16)
+    mismv = mismatch[:, None].astype(jnp.int16)
+    gov = gopen[:, None].astype(jnp.int16)
+    gev = gext[:, None].astype(jnp.int16)
+
+    def boundary_H(diag_d):
+        onb = (o_vec == diag_d) | (o_vec == -diag_d)
+        return jnp.where(onb, 0, NEG.astype(jnp.int32)).astype(jnp.int16)
+
+    H1 = jnp.broadcast_to(boundary_H(1), (B, Wp))
+    H0 = jnp.broadcast_to(boundary_H(0), (B, Wp))
+    E1 = jnp.full((B, Wp), NEG, jnp.int16)
+    F1 = jnp.full((B, Wp), NEG, jnp.int16)
+
+    # endpoint tracking: last row cells (n, j) and last col cells (i, m)
+    best0 = jnp.full((B,), NEG, jnp.int32)
+    ei0 = jnp.zeros((B,), jnp.int32)
+    ej0 = jnp.zeros((B,), jnp.int32)
+    # include trivial endpoints (0, m) and (n, 0): score 0
+    best0 = jnp.zeros((B,), jnp.int32)
+    ei0 = qlen.astype(jnp.int32)   # (n, 0) preferred over (0, m) by larger i
+    ej0 = jnp.zeros((B,), jnp.int32)
+
+    steps = 2 * L - 1
+    inf_col = jnp.full((B, 1), NEG, dtype=jnp.int16)
+
+    def shift_up(X):   # X[o+1]
+        return jnp.concatenate([X[:, 1:], inf_col], axis=1)
+
+    def shift_down(X):  # X[o-1]
+        return jnp.concatenate([inf_col, X[:, :-1]], axis=1)
+
+    def step(carry, d):
+        Hp, Hpp, Ep, Fp, best, ei, ej = carry
+        qstart = P0 + 2 * L + 1 + o_lo - d
+        tstart = P0 + d + o_lo - 2
+        qg = jax.lax.dynamic_slice(QP, (0, qstart), (B, Wp))
+        tg = jax.lax.dynamic_slice(TP, (0, tstart), (B, Wp))
+        sub = jnp.where(qg == tg, matchv, mismv)
+
+        # E[i][j]: parents at (i, j-1): diag d-1, offset o-1
+        h_left = shift_down(Hp)
+        e_left = shift_down(Ep)
+        e_open = h_left - gov
+        e_ext = e_left - gev
+        E = jnp.maximum(e_open, e_ext)
+        e_opened = e_open >= e_ext
+
+        # F[i][j]: parents at (i-1, j): diag d-1, offset o+1
+        h_up = shift_up(Hp)
+        f_up = shift_up(Fp)
+        f_open = h_up - gov
+        f_ext = f_up - gev
+        F = jnp.maximum(f_open, f_ext)
+        f_opened = f_open >= f_ext
+
+        diag = Hpp + sub
+        H = jnp.maximum(jnp.maximum(diag, E), F)
+        hdir = jnp.where(
+            H == diag, H_DIAG, jnp.where(H == E, H_FROME, H_FROMF)
+        ).astype(jnp.uint8)
+
+        # boundary cells: H = 0 on row 0 / col 0 (free end gaps)
+        on_boundary = (o_vec == d) | (o_vec == -d)
+        H = jnp.where(on_boundary, 0, H).astype(jnp.int16)
+        hdir = jnp.where(on_boundary, np.uint8(H_START), hdir)
+        out_grid = (o_vec > d) | (o_vec < -d)
+        H = jnp.where(out_grid, NEG, H)
+        E = jnp.where(out_grid | on_boundary, NEG, E).astype(jnp.int16)
+        F = jnp.where(out_grid | on_boundary, NEG, F).astype(jnp.int16)
+        # floor everything at NEG: degraded band-edge cells otherwise drift
+        # a few points lower every diagonal and can wrap int16 on long pairs
+        H = jnp.maximum(H, NEG)
+        E = jnp.maximum(E, NEG)
+        F = jnp.maximum(F, NEG)
+
+        dirs = (
+            hdir
+            | (e_opened.astype(jnp.uint8) << 2)
+            | (f_opened.astype(jnp.uint8) << 3)
+        )
+
+        # endpoint scan: last-col cells (i, m) at o = 2m - d, last-row cells
+        # (n, j) at o = d - 2n.  Tie rule (same as the oracle): max score,
+        # then larger i, then larger j.
+        def consider(best, ei, ej, v, i_new, j_new, ok):
+            v = jnp.where(ok, v.astype(jnp.int32), NEG.astype(jnp.int32) - 1)
+            upd = (v > best) | (
+                (v == best)
+                & ((i_new > ei) | ((i_new == ei) & (j_new > ej)))
+            )
+            return (
+                jnp.where(upd, v, best),
+                jnp.where(upd, i_new, ei),
+                jnp.where(upd, j_new, ej),
+            )
+
+        lane_col = 2 * tlen - d - o_lo
+        okc = (lane_col >= 0) & (lane_col < Wp) & (d >= tlen) & (d <= qlen + tlen)
+        vc = jnp.take_along_axis(H, jnp.clip(lane_col, 0, Wp - 1)[:, None], 1)[:, 0]
+        best, ei, ej = consider(
+            best, ei, ej, vc, (d - tlen).astype(jnp.int32),
+            tlen.astype(jnp.int32), okc)
+
+        lane_row = d - 2 * qlen - o_lo
+        okr = (lane_row >= 0) & (lane_row < Wp) & (d >= qlen) & (d <= qlen + tlen)
+        vr = jnp.take_along_axis(H, jnp.clip(lane_row, 0, Wp - 1)[:, None], 1)[:, 0]
+        best, ei, ej = consider(
+            best, ei, ej, vr, qlen.astype(jnp.int32),
+            (d - qlen).astype(jnp.int32), okr)
+
+        return (H, Hp, E, F, best, ei, ej), dirs
+
+    (Hl, _, _, _, best, ei, ej), dirs = jax.lax.scan(
+        step, (H1, H0, E1, F1, best0, ei0, ej0),
+        jnp.arange(2, 2 + steps, dtype=jnp.int32)
+    )
+    dirs = jnp.transpose(dirs, (1, 0, 2))  # [B, steps, Wp]
+    return best, ei, ej, dirs
+
+
+class BandOverflow(Exception):
+    pass
+
+
+def decode_traceback(
+    dirs: np.ndarray,
+    q: str,
+    t: str,
+    end_i: int,
+    end_j: int,
+    Wp: int,
+) -> Tuple[str, str]:
+    """Walk the packed direction bits from (end_i, end_j) back to a free
+    start, returning (q_aligned, t_aligned) with end gaps appended.
+
+    Raises BandOverflow if the path touches the outermost band lanes
+    (result then untrustworthy; caller should widen the band).
+    """
+    o_lo = -(Wp // 2 - 1)
+    n, m = len(q), len(t)
+    a1: List[str] = []
+    a2: List[str] = []
+    i, j = end_i, end_j
+    state = "H"
+    while i > 0 and j > 0:
+        d = i + j
+        c = (j - i) - o_lo
+        if c <= 0 or c >= Wp - 1:
+            raise BandOverflow((i, j, c))
+        bits = int(dirs[d - 2, c])
+        if state == "H":
+            hd = bits & 3
+            if hd == H_START:
+                break
+            if hd == H_DIAG:
+                a1.append(q[i - 1])
+                a2.append(t[j - 1])
+                i -= 1
+                j -= 1
+            elif hd == H_FROME:
+                state = "E"
+            else:
+                state = "F"
+        elif state == "E":
+            a1.append("-")
+            a2.append(t[j - 1])
+            opened = bool(bits & 4)
+            j -= 1
+            if opened:
+                state = "H"
+        else:  # F
+            a1.append(q[i - 1])
+            a2.append("-")
+            opened = bool(bits & 8)
+            i -= 1
+            if opened:
+                state = "H"
+    # leading free end gaps
+    while i > 0:
+        a1.append(q[i - 1])
+        a2.append("-")
+        i -= 1
+    while j > 0:
+        a1.append("-")
+        a2.append(t[j - 1])
+        j -= 1
+    a1.reverse()
+    a2.reverse()
+    t1 = q[end_i:]
+    t2 = t[end_j:]
+    return "".join(a1) + t1 + "-" * len(t2), "".join(a2) + "-" * len(t1) + t2

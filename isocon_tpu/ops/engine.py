@@ -16,6 +16,7 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 from . import oracle
+from .affine import BandOverflow, banded_sg_align, decode_traceback
 from .encode import encode_seq
 from .wavefront import banded_ed, band_certifies
 
@@ -180,3 +181,105 @@ class PairEngine:
         ej = np.asarray(ej)[:B]
         cert = band_certifies(ed, qlen[:B], tlen[:B], Wp, hw_mode=hw_mode)
         return ed, ej, cert
+
+    # ------------------------------------------------------------------
+    # affine semi-global alignment with traceback
+    # ------------------------------------------------------------------
+    def align_pairs(
+        self,
+        pairs: Sequence[Tuple[str, str]],
+        scores: Sequence[Tuple[int, int, int, int]],
+        ed_hint: Optional[Sequence[int]] = None,
+    ) -> List[Tuple[str, str, Tuple[int, int, int]]]:
+        """Batched semi-global alignments.
+
+        Args:
+          pairs: (s1, s2) strings; s1 plays the parasail query role.
+          scores: per pair (match, mismatch, gap_open, gap_ext) with
+            mismatch negative and open/ext as positive penalties
+            (parasail convention: first gap char costs open).
+          ed_hint: known edit distance per pair (tightens the initial band).
+
+        Returns the reference's alignment triple per pair
+        (s1_aligned, s2_aligned, (matches, mismatches, indels))
+        (``SW_alignment_module.py:78-86``).
+        """
+        n_pairs = len(pairs)
+        out: List[Optional[Tuple[str, str, Tuple[int, int, int]]]] = [None] * n_pairs
+        todo = []
+        bands = {}
+        for i, (a, b) in enumerate(pairs):
+            if max(len(a), len(b)) <= self.host_threshold or min(len(a), len(b)) == 0:
+                ma, mi, go, ge = scores[i]
+                out[i] = oracle.align_semi_global(a, b, ma, -abs(mi), go, ge)
+                continue
+            hint = ed_hint[i] if ed_hint is not None else None
+            delta = abs(len(a) - len(b))
+            if hint is not None and hint >= 0:
+                w = 2 * (delta + 2 * int(hint)) + 64
+            else:
+                w = 2 * delta + 256
+            bands[i] = max(self.w0, int(2 ** math.ceil(math.log2(max(w, 64)))))
+            todo.append(i)
+
+        while todo:
+            next_round = []
+            buckets: dict = {}
+            for i in todo:
+                a, b = pairs[i]
+                Lb = _len_bucket(max(len(a), len(b)))
+                buckets.setdefault((Lb, bands[i]), []).append(i)
+            for (Lb, Wp), idxs in sorted(buckets.items()):
+                for s in range(0, len(idxs), self.batch_pairs):
+                    chunk = idxs[s : s + self.batch_pairs]
+                    self._align_batch(pairs, scores, chunk, Lb, Wp, out,
+                                      next_round, bands)
+            todo = next_round
+        return out  # type: ignore[return-value]
+
+    def _align_batch(self, pairs, scores, chunk, Lb, Wp, out, next_round, bands):
+        B = len(chunk)
+        Bp = self.batch_pairs
+        q = np.full((Bp, Lb), 5, dtype=np.int8)
+        t = np.full((Bp, Lb), 6, dtype=np.int8)
+        qlen = np.ones(Bp, dtype=np.int32)
+        tlen = np.ones(Bp, dtype=np.int32)
+        ma = np.full(Bp, 2, dtype=np.int16)
+        mi = np.full(Bp, -2, dtype=np.int16)
+        go = np.full(Bp, 2, dtype=np.int16)
+        ge = np.full(Bp, 0, dtype=np.int16)
+        for pos, i in enumerate(chunk):
+            a, b = pairs[i]
+            ea, eb = self._enc(a), self._enc(b)
+            q[pos, : len(ea)] = ea
+            t[pos, : len(eb)] = eb
+            qlen[pos], tlen[pos] = len(ea), len(eb)
+            m_, x_, o_, e_ = scores[i]
+            ma[pos], mi[pos], go[pos], ge[pos] = m_, -abs(x_), o_, e_
+        if self.sharder is not None:
+            best, ei, ej, dirs = self.sharder.banded_sg_align(
+                q, t, qlen, tlen, ma, mi, go, ge, Wp=Wp, L=Lb)
+        else:
+            best, ei, ej, dirs = banded_sg_align(
+                q, t, qlen, tlen, ma, mi, go, ge, Wp=Wp, L=Lb)
+        best = np.asarray(best)
+        ei = np.asarray(ei)
+        ej = np.asarray(ej)
+        dirs = np.asarray(dirs)
+        for pos, i in enumerate(chunk):
+            a, b = pairs[i]
+            try:
+                a1, a2 = decode_traceback(dirs[pos], a, b, int(ei[pos]),
+                                          int(ej[pos]), Wp)
+            except BandOverflow:
+                bands[i] = Wp * 2
+                if bands[i] > 4 * Lb + 512:
+                    raise
+                next_round.append(i)
+                continue
+            matches = sum(1 for x, y in zip(a1, a2) if x == y and x != "-")
+            mismatches = sum(
+                1 for x, y in zip(a1, a2) if x != y and x != "-" and y != "-"
+            )
+            indels = len(a1) - matches - mismatches
+            out[i] = (a1, a2, (matches, mismatches, indels))
