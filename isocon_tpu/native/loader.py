@@ -1,0 +1,106 @@
+"""Build + ctypes loader for the native (C++) components.
+
+The shared library is compiled on first use with g++ (cached next to the
+sources); everything degrades gracefully to the numpy oracle when no
+compiler is available.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_HERE, "_isocon_native.so")
+_SRCS = ["myers_ed.cc", "traceback.cc"]
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _build() -> bool:
+    srcs = [os.path.join(_HERE, s) for s in _SRCS if os.path.exists(os.path.join(_HERE, s))]
+    if not srcs:
+        return False
+    newest_src = max(os.path.getmtime(s) for s in srcs)
+    if os.path.exists(_SO) and os.path.getmtime(_SO) > newest_src:
+        return True
+    cmd = [
+        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+        "-o", _SO, *srcs,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        return True
+    except (OSError, subprocess.CalledProcessError):
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    with _LOCK:
+        if _LIB is None and not _TRIED:
+            _TRIED = True
+            if _build():
+                lib = ctypes.CDLL(_SO)
+                lib.myers_ed.restype = ctypes.c_int64
+                lib.myers_ed.argtypes = [
+                    ctypes.c_void_p, ctypes.c_int64,
+                    ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ]
+                lib.myers_ed_batch.restype = None
+                lib.myers_ed_batch.argtypes = [
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                    ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                    ctypes.c_int64, ctypes.c_void_p,
+                ]
+                _LIB = lib
+        return _LIB
+
+
+def native_available() -> bool:
+    return get_lib() is not None
+
+
+def myers_ed(q: bytes | np.ndarray, t: bytes | np.ndarray, k: int = -1) -> int:
+    """Unit-cost NW edit distance via the native Myers kernel; -1 if > k."""
+    lib = get_lib()
+    qa = np.frombuffer(q, dtype=np.uint8) if isinstance(q, (bytes, bytearray)) else np.ascontiguousarray(q, dtype=np.uint8)
+    ta = np.frombuffer(t, dtype=np.uint8) if isinstance(t, (bytes, bytearray)) else np.ascontiguousarray(t, dtype=np.uint8)
+    if lib is None:
+        from ..ops import oracle
+
+        return oracle.edit_distance(
+            qa.tobytes().decode("latin1"), ta.tobytes().decode("latin1"),
+            k=None if k < 0 else k,
+        )
+    return int(
+        lib.myers_ed(
+            qa.ctypes.data, len(qa), ta.ctypes.data, len(ta), k
+        )
+    )
+
+
+def myers_ed_batch(qs: np.ndarray, qlens: np.ndarray, ts: np.ndarray,
+                   tlens: np.ndarray, k: int = -1) -> np.ndarray:
+    """Batched native EDs over padded [B, L] uint8 arrays."""
+    lib = get_lib()
+    B, L = qs.shape
+    out = np.empty(B, dtype=np.int64)
+    if lib is None:
+        for i in range(B):
+            out[i] = myers_ed(qs[i, : qlens[i]], ts[i, : tlens[i]], k)
+        return out
+    qs = np.ascontiguousarray(qs, dtype=np.uint8)
+    ts = np.ascontiguousarray(ts, dtype=np.uint8)
+    ql = np.ascontiguousarray(qlens, dtype=np.int64)
+    tl = np.ascontiguousarray(tlens, dtype=np.int64)
+    lib.myers_ed_batch(
+        qs.ctypes.data, ql.ctypes.data, ts.ctypes.data, tl.ctypes.data,
+        L, B, k, out.ctypes.data,
+    )
+    return out

@@ -1,0 +1,109 @@
+"""Sharded execution of the DP kernels over a device mesh.
+
+The pair axis (batch dimension B) is block-sharded across the mesh's
+``pairs`` axis with ``shard_map``; each device runs the same wavefront
+program on its shard, and per-query reductions merge with mesh collectives
+(``jax.lax.pmin`` / ``psum``) -- the TPU-native replacement for the
+reference's fork-and-merge dict updates
+(``nearest_neighbor_graph.py:65-79``).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..ops.affine import banded_sg_align
+from ..ops.wavefront import banded_ed
+
+
+class Sharder:
+    """Runs engine batches sharded over a 1-D device mesh."""
+
+    def __init__(self, mesh):
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        self.n = mesh.devices.size
+
+    def _pad(self, arr, B_pad):
+        if arr.shape[0] == B_pad:
+            return arr
+        pad = [(0, B_pad - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
+        return np.pad(arr, pad, constant_values=arr.ravel()[-1] if arr.size else 0)
+
+    def banded_ed(self, q, t, qlen, tlen, *, Wp: int, L: int, hw_mode: bool = False):
+        B = q.shape[0]
+        B_pad = -(-B // self.n) * self.n
+        q, t = self._pad(q, B_pad), self._pad(t, B_pad)
+        qlen, tlen = self._pad(qlen, B_pad), self._pad(tlen, B_pad)
+
+        @functools.partial(
+            shard_map,
+            mesh=self.mesh,
+            in_specs=(P(self.axis), P(self.axis), P(self.axis), P(self.axis)),
+            out_specs=(P(self.axis), P(self.axis)),
+            check_rep=False,
+        )
+        def run(qs, ts, qls, tls):
+            return banded_ed(qs, ts, qls, tls, Wp=Wp, L=L, hw_mode=hw_mode)
+
+        ed, ej = jax.jit(run)(q, t, qlen, tlen)
+        return np.asarray(ed)[:B], np.asarray(ej)[:B]
+
+    def banded_sg_align(self, q, t, qlen, tlen, ma, mi, go, ge, *, Wp: int, L: int):
+        B = q.shape[0]
+        B_pad = -(-B // self.n) * self.n
+        q, t = self._pad(q, B_pad), self._pad(t, B_pad)
+        qlen, tlen = self._pad(qlen, B_pad), self._pad(tlen, B_pad)
+        ma, mi = self._pad(ma, B_pad), self._pad(mi, B_pad)
+        go, ge = self._pad(go, B_pad), self._pad(ge, B_pad)
+
+        @functools.partial(
+            shard_map,
+            mesh=self.mesh,
+            in_specs=tuple([P(self.axis)] * 8),
+            out_specs=tuple([P(self.axis)] * 4),
+            check_rep=False,
+        )
+        def run(qs, ts, qls, tls, mas, mis, gos, ges):
+            return banded_sg_align(qs, ts, qls, tls, mas, mis, gos, ges,
+                                   Wp=Wp, L=L)
+
+        best, ei, ej, dirs = jax.jit(run)(q, t, qlen, tlen, ma, mi, go, ge)
+        return (np.asarray(best)[:B], np.asarray(ei)[:B], np.asarray(ej)[:B],
+                np.asarray(dirs)[:B])
+
+
+def nn_round_sharded(mesh, q, t, qlen, tlen, query_ids, n_queries: int,
+                     *, Wp: int, L: int):
+    """One sharded NN-search round: pair-sharded banded EDs followed by a
+    per-query min merged across devices with a ``pmin`` collective.
+
+    This is the multi-chip "training step" analog of the framework: the
+    blocked pair-distance computation plus the collective reduction that the
+    reference performs as host-side dict merges
+    (``nearest_neighbor_graph.py:75-79``).
+    """
+    axis = mesh.axis_names[0]
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(),
+        check_rep=False,
+    )
+    def run(qs, ts, qls, tls, qids):
+        ed, _ = banded_ed(qs, ts, qls, tls, Wp=Wp, L=L)
+        # local per-query min over this shard's pairs
+        local = jnp.full((n_queries,), 2 ** 30, jnp.int32)
+        local = local.at[qids].min(ed)
+        # merge across devices over ICI
+        return jax.lax.pmin(local, axis)
+
+    return jax.jit(run)(q, t, qlen, tlen, query_ids)
