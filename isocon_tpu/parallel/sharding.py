@@ -36,7 +36,8 @@ class Sharder:
         pad = [(0, B_pad - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
         return np.pad(arr, pad, constant_values=arr.ravel()[-1] if arr.size else 0)
 
-    def banded_ed(self, q, t, qlen, tlen, *, Wp: int, L: int, hw_mode: bool = False):
+    def banded_ed(self, q, t, qlen, tlen, *, Wp: int, L: int,
+                  hw_mode: bool = False, small: bool = False):
         B = q.shape[0]
         B_pad = -(-B // self.n) * self.n
         q, t = self._pad(q, B_pad), self._pad(t, B_pad)
@@ -50,7 +51,8 @@ class Sharder:
             check_rep=False,
         )
         def run(qs, ts, qls, tls):
-            return banded_ed(qs, ts, qls, tls, Wp=Wp, L=L, hw_mode=hw_mode)
+            return banded_ed(qs, ts, qls, tls, Wp=Wp, L=L, hw_mode=hw_mode,
+                             small=small)
 
         ed, ej = jax.jit(run)(q, t, qlen, tlen)
         return np.asarray(ed)[:B], np.asarray(ej)[:B]
