@@ -171,7 +171,18 @@ def ends_ignored_nn_graph(
                 break
             j += 1
 
-    for (i, j) in wanted:
+    # distance pass: batched HW kernel with cutoff; the (few) pairs under
+    # the cutoff then get a host traceback for the end adjustments
+    if engine is not None and wanted:
+        pairs = [(ordered[i][0], ordered[j][0]) for i, j in wanted]
+        eds, _ej = engine.edit_distances(
+            pairs, k_cap=[max_ed_allowed] * len(pairs), hw_mode=True
+        )
+        survivors = [ij for ij, d in zip(wanted, eds) if 0 <= d <= max_ed_allowed]
+    else:
+        survivors = wanted
+
+    for (i, j) in survivors:
         q_seq, q_acc = ordered[i]
         t_seq, t_acc = ordered[j]
         ed, start_j, end_j, ops = oracle.edit_distance_hw(q_seq, t_seq)
