@@ -26,13 +26,18 @@ def correct_strings(
     seq_to_acc: Dict[str, List[str]],
     step: int,
     verbose: bool = False,
-) -> Dict[str, str]:
-    """Correct every partition; returns {accession: corrected sequence}.
+    ccs_dict: Optional[Dict[str, object]] = None,
+) -> Tuple[Dict[str, str], Dict[str, list]]:
+    """Correct every partition; returns ({accession: corrected sequence},
+    {accession: corrected quality vector}).
 
     partition_alignments: {center m: {s: (ed, m_aln, s_aln, degree)}}
-    (the center itself appears as (0, m, m, selfdegree)).
+    (the center itself appears as (0, m, m, selfdegree)).  When ccs_dict is
+    given, the quality-weighted variant is used
+    (``correct_to_consensus_helper``, ``correction_module.py:78-84``).
     """
     s_prime: Dict[str, str] = {}
+    s_prime_qual: Dict[str, list] = {}
     for m in sorted(partition_alignments):
         partition = partition_alignments[m]
         part_seq_to_acc = {}
@@ -41,12 +46,135 @@ def correct_strings(
         for s in partition:
             if s in seq_to_acc:
                 part_seq_to_acc[s] = seq_to_acc[s]
-        corrected = correct_to_consensus(m, partition, part_seq_to_acc, step,
-                                         verbose)
+        if ccs_dict:
+            part_ccs = {
+                acc: ccs_dict[acc]
+                for s in partition
+                if s in seq_to_acc
+                for acc in seq_to_acc[s]
+                if acc in ccs_dict
+            }
+            corrected, quals = correct_to_consensus_ccs_qual(
+                m, partition, part_seq_to_acc, step, part_ccs
+            )
+        else:
+            corrected = correct_to_consensus(m, partition, part_seq_to_acc,
+                                             step, verbose)
+            quals = {}
         for acc, s in corrected.items():
             assert acc not in s_prime
             s_prime[acc] = s
-    return s_prime
+        for acc, qv in quals.items():
+            s_prime_qual[acc] = qv
+    return s_prime, s_prime_qual
+
+
+def annotate_with_quality_values(
+    alignment_matrix: Dict[str, List[str]],
+    seq_to_acc: Dict[str, List[str]],
+    ccs_dict,
+):
+    """Per-column summed/max quality PFMs (``correction_module.py:87-157``)."""
+    qual_rows: Dict[str, List[int]] = {}
+    max_qual_rows: Dict[str, List[int]] = {}
+    for s, row in alignment_matrix.items():
+        all_quals = [ccs_dict[acc].qual for acc in seq_to_acc[s]]
+        sum_quals = [sum(t) for t in zip(*all_quals)]
+        max_quals = [max(t) for t in zip(*all_quals)]
+        list_sum, list_max = [], []
+        pos = 0
+        for ch in row:
+            list_sum.append(sum_quals[pos])
+            list_max.append(max_quals[pos])
+            if ch != "-" and pos < len(sum_quals) - 1:
+                pos += 1
+        qual_rows[s] = list_sum
+        max_qual_rows[s] = list_max
+
+    ncol = len(next(iter(alignment_matrix.values())))
+    pfm_q = [dict.fromkeys("ACGT-", 0) for _ in range(ncol)]
+    pfm_maxq = [dict.fromkeys("ACGT-", 0) for _ in range(ncol)]
+    for s, row in alignment_matrix.items():
+        for j, ch in enumerate(row):
+            pfm_q[j][ch] += qual_rows[s][j]
+            pfm_maxq[j][ch] += max_qual_rows[s][j]
+
+    majority = []
+    for col in pfm_q:
+        mx = max(col.values())
+        majority.append("".join(sorted(v for v, c in col.items() if c == mx)))
+
+    diffs = []
+    for s, row in alignment_matrix.items():
+        for j, ch in enumerate(row):
+            if ch not in majority[j] and len(majority[j]) == 1:
+                diffs.append(qual_rows[s][j])
+    diffs.sort()
+    if diffs:
+        threshold = diffs[int(math.ceil(len(diffs) / 2.0)) - 1]
+    else:
+        threshold = -1
+    return qual_rows, pfm_q, pfm_maxq, threshold
+
+
+def correct_to_consensus_ccs_qual(
+    m: str,
+    partition: Dict[str, Tuple[int, str, str, int]],
+    seq_to_acc: Dict[str, List[str]],
+    step: int,
+    ccs_dict,
+) -> Tuple[Dict[str, str], Dict[str, list]]:
+    """Quality-weighted correction (``correction_module.py:161-256``)."""
+    s_prime: Dict[str, str] = {}
+    s_prime_qual: Dict[str, list] = {}
+    if len(partition) <= 1:
+        return s_prime, s_prime_qual
+
+    alignment_matrix = create_multialignment_matrix(m, partition)
+    for s_before in partition:
+        assert "".join(n for n in alignment_matrix[s_before] if n != "-") == s_before
+    qual_rows, pfm_q, pfm_maxq, global_threshold = annotate_with_quality_values(
+        alignment_matrix, seq_to_acc, ccs_dict
+    )
+    if global_threshold < 0:
+        return s_prime, s_prime_qual
+
+    majority = []
+    for col in pfm_q:
+        mx = max(col.values())
+        majority.append("".join(sorted(v for v, c in col.items() if c == mx)))
+
+    for s in sorted(partition):
+        if partition[s][3] > 1:
+            continue
+        row = alignment_matrix[s]
+        s_min = next(i for i, ch in enumerate(row) if ch != "-")
+        s_max = len(row) - next(i for i, ch in enumerate(row[::-1]) if ch != "-")
+        correctable = [
+            (j, pfm_q[j][row[j]])
+            for j in range(len(majority))
+            if len(majority[j]) == 1 and majority[j] != row[j]
+        ]
+        nr_pos = int(math.ceil(len(correctable) * 0.5))
+        if nr_pos == 0 or not correctable:
+            continue
+        correctable.sort(key=lambda x: x[1])
+        _, qual_threshold = correctable[nr_pos - 1]
+        to_correct = [(j, qj) for j, qj in correctable if qj <= qual_threshold]
+
+        new_row = list(row)
+        new_qual = list(qual_rows[s])
+        for j, _qj in to_correct:
+            assert len(majority[j]) == 1
+            new_row[j] = majority[j]
+            new_qual[j] = pfm_maxq[j][majority[j]]
+        s_modified = "".join(n for n in new_row if n != "-")
+        qual_modified = [new_qual[j] for j in range(len(new_row))
+                         if new_row[j] != "-"]
+        for acc in seq_to_acc[s]:
+            s_prime[acc] = s_modified
+            s_prime_qual[acc] = qual_modified
+    return s_prime, s_prime_qual
 
 
 def correct_to_consensus(

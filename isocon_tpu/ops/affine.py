@@ -200,6 +200,122 @@ class BandOverflow(Exception):
     pass
 
 
+# backward-walk opcodes emitted by the device-side decoder
+OP_NONE = 0   # walk finished / padding
+OP_DIAG = 1   # consume one char of q and t
+OP_GAPQ = 2   # E-state: '-' in q, consume t
+OP_GAPT = 3   # F-state: consume q, '-' in t
+
+
+@functools.partial(jax.jit, static_argnames=("Wp", "L"))
+def walk_traceback(dirs, qlen, tlen, end_i, end_j, *, Wp: int, L: int):
+    """Device-side traceback walk: converts the packed direction planes to
+    per-pair backward opcode strings, so only ~2L bytes per pair leave the
+    device instead of the full [steps, Wp] direction tensor.
+
+    Returns (opcodes [B, 2L] uint8 in backward order, stop_i [B], stop_j [B],
+    overflow [B] bool).
+    """
+    B = dirs.shape[0]
+    o_lo = -(Wp // 2 - 1)
+    bidx = jnp.arange(B)
+
+    def step(carry, _):
+        i, j, st, overflow = carry
+        active = (i > 0) & (j > 0) & (st != 3)
+        d = i + j
+        c = (j - i) - o_lo
+        on_edge = (c <= 0) | (c >= Wp - 1)
+        overflow = overflow | (active & on_edge)
+        c_cl = jnp.clip(c, 0, Wp - 1)
+        d_cl = jnp.clip(d - 2, 0, dirs.shape[1] - 1)
+        bits = dirs[bidx, d_cl, c_cl].astype(jnp.int32)
+        hd = bits & 3
+        e_opened = (bits & 4) != 0
+        f_opened = (bits & 8) != 0
+
+        in_h = st == 0
+        # The host walk's H->E/F transition re-reads the same cell in the
+        # gap state; fused here: acting in E at cell (i,j) means emit the
+        # gap, consume, and return to H iff this cell opened the gap.
+        hit_start = active & in_h & (hd == H_START)
+        act_diag = active & in_h & (hd == H_DIAG)
+        act_e = active & ((in_h & (hd == H_FROME)) | (st == 1))
+        act_f = active & ((in_h & (hd == H_FROMF)) | (st == 2))
+
+        op = jnp.where(
+            act_diag, OP_DIAG,
+            jnp.where(act_e, OP_GAPQ, jnp.where(act_f, OP_GAPT, OP_NONE)),
+        ).astype(jnp.uint8)
+        ni = jnp.where(act_diag | act_f, i - 1, i)
+        nj = jnp.where(act_diag | act_e, j - 1, j)
+        nst = jnp.where(
+            act_diag, 0,
+            jnp.where(act_e, jnp.where(e_opened, 0, 1),
+                      jnp.where(act_f, jnp.where(f_opened, 0, 2), st)),
+        )
+        nst = jnp.where(hit_start, 3, nst)
+        return (ni, nj, nst, overflow), op
+
+    init = (end_i.astype(jnp.int32), end_j.astype(jnp.int32),
+            jnp.zeros((B,), jnp.int32), jnp.zeros((B,), bool))
+    (fi, fj, fst, overflow), ops = jax.lax.scan(step, init, None, length=2 * L)
+    ops = jnp.transpose(ops, (1, 0))
+    # walk "done" states: st==3 (hit free start) or i==0/j==0 exhausted
+    return ops, fi, fj, overflow
+
+
+@functools.partial(jax.jit, static_argnames=("Wp", "L"))
+def sg_align_with_ops(qcodes, tcodes, qlen, tlen, match, mismatch, gopen,
+                      gext, *, Wp: int, L: int):
+    """Fused forward + traceback walk: the [B, steps, Wp] direction tensor
+    never leaves the device; only scores, endpoints and ~2L opcodes per
+    pair do (critical when the host<->device link is thin)."""
+    best, ei, ej, dirs = banded_sg_align(
+        qcodes, tcodes, qlen, tlen, match, mismatch, gopen, gext, Wp=Wp, L=L
+    )
+    ops, fi, fj, overflow = walk_traceback(dirs, qlen, tlen, ei, ej, Wp=Wp, L=L)
+    return best, ei, ej, ops, fi, fj, overflow
+
+
+def ops_to_alignment(opcodes, q: str, t: str, end_i: int, end_j: int,
+                     stop_i: int, stop_j: int) -> Tuple[str, str]:
+    """Host assembly of the aligned strings from backward opcodes."""
+    a1: List[str] = []
+    a2: List[str] = []
+    i, j = end_i, end_j
+    for op in opcodes:
+        if op == OP_NONE:
+            break
+        if op == OP_DIAG:
+            a1.append(q[i - 1])
+            a2.append(t[j - 1])
+            i -= 1
+            j -= 1
+        elif op == OP_GAPQ:
+            a1.append("-")
+            a2.append(t[j - 1])
+            j -= 1
+        else:  # OP_GAPT
+            a1.append(q[i - 1])
+            a2.append("-")
+            i -= 1
+    assert (i, j) == (stop_i, stop_j), (i, j, stop_i, stop_j)
+    while i > 0:
+        a1.append(q[i - 1])
+        a2.append("-")
+        i -= 1
+    while j > 0:
+        a1.append("-")
+        a2.append(t[j - 1])
+        j -= 1
+    a1.reverse()
+    a2.reverse()
+    t1 = q[end_i:]
+    t2 = t[end_j:]
+    return "".join(a1) + t1 + "-" * len(t2), "".join(a2) + "-" * len(t1) + t2
+
+
 def decode_traceback(
     dirs: np.ndarray,
     q: str,

@@ -11,16 +11,40 @@ This object replaces the reference's per-pair edlib fan-out over
 from __future__ import annotations
 
 import math
+import os
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from . import oracle
-from .affine import BandOverflow, banded_sg_align, decode_traceback
+from .affine import BandOverflow, ops_to_alignment, sg_align_with_ops
 from .encode import encode_seq
 from .wavefront import banded_ed, band_certifies
 
 _LEN_BUCKETS = [128, 256, 512, 1024, 1536, 2048, 3072, 4096, 6144, 8192]
+
+_CACHE_SET = False
+
+
+def enable_compilation_cache() -> None:
+    """Persist XLA compilations across processes; first-compile of each
+    (L, Wp, batch) shape is expensive on TPU, and the bucket set is small
+    and stable."""
+    global _CACHE_SET
+    if _CACHE_SET:
+        return
+    _CACHE_SET = True
+    import jax
+
+    cache_dir = os.environ.get(
+        "ISOCON_XLA_CACHE", os.path.expanduser("~/.cache/isocon_tpu_xla")
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 
 def _len_bucket(n: int) -> int:
@@ -35,6 +59,7 @@ class PairEngine:
 
     def __init__(self, batch_pairs: int = 256, w0: int = 128,
                  host_threshold: int = 0, sharder=None):
+        enable_compilation_cache()
         self.batch_pairs = batch_pairs
         self.w0 = w0
         self.host_threshold = host_threshold  # pairs shorter than this -> numpy
@@ -260,26 +285,27 @@ class PairEngine:
             m_, x_, o_, e_ = scores[i]
             ma[pos], mi[pos], go[pos], ge[pos] = m_, -abs(x_), o_, e_
         if self.sharder is not None:
-            best, ei, ej, dirs = self.sharder.banded_sg_align(
+            best, ei, ej, ops, fi, fj, overflow = self.sharder.sg_align_with_ops(
                 q, t, qlen, tlen, ma, mi, go, ge, Wp=Wp, L=Lb)
         else:
-            best, ei, ej, dirs = banded_sg_align(
+            best, ei, ej, ops, fi, fj, overflow = sg_align_with_ops(
                 q, t, qlen, tlen, ma, mi, go, ge, Wp=Wp, L=Lb)
-        best = np.asarray(best)
         ei = np.asarray(ei)
         ej = np.asarray(ej)
-        dirs = np.asarray(dirs)
+        ops = np.asarray(ops)
+        fi = np.asarray(fi)
+        fj = np.asarray(fj)
+        overflow = np.asarray(overflow)
         for pos, i in enumerate(chunk):
             a, b = pairs[i]
-            try:
-                a1, a2 = decode_traceback(dirs[pos], a, b, int(ei[pos]),
-                                          int(ej[pos]), Wp)
-            except BandOverflow:
+            if overflow[pos]:
                 bands[i] = Wp * 2
                 if bands[i] > 4 * Lb + 512:
-                    raise
+                    raise BandOverflow((a[:30], b[:30], Wp))
                 next_round.append(i)
                 continue
+            a1, a2 = ops_to_alignment(ops[pos], a, b, int(ei[pos]),
+                                      int(ej[pos]), int(fi[pos]), int(fj[pos]))
             matches = sum(1 for x, y in zip(a1, a2) if x == y and x != "-")
             mismatches = sum(
                 1 for x, y in zip(a1, a2) if x != y and x != "-" and y != "-"

@@ -80,6 +80,31 @@ class Sharder:
         return (np.asarray(best)[:B], np.asarray(ei)[:B], np.asarray(ej)[:B],
                 np.asarray(dirs)[:B])
 
+    def sg_align_with_ops(self, q, t, qlen, tlen, ma, mi, go, ge, *, Wp: int,
+                          L: int):
+        from ..ops.affine import sg_align_with_ops
+
+        B = q.shape[0]
+        B_pad = -(-B // self.n) * self.n
+        q, t = self._pad(q, B_pad), self._pad(t, B_pad)
+        qlen, tlen = self._pad(qlen, B_pad), self._pad(tlen, B_pad)
+        ma, mi = self._pad(ma, B_pad), self._pad(mi, B_pad)
+        go, ge = self._pad(go, B_pad), self._pad(ge, B_pad)
+
+        @functools.partial(
+            shard_map,
+            mesh=self.mesh,
+            in_specs=tuple([P(self.axis)] * 8),
+            out_specs=tuple([P(self.axis)] * 7),
+            check_rep=False,
+        )
+        def run(qs, ts, qls, tls, mas, mis, gos, ges):
+            return sg_align_with_ops(qs, ts, qls, tls, mas, mis, gos, ges,
+                                     Wp=Wp, L=L)
+
+        outs = jax.jit(run)(q, t, qlen, tlen, ma, mi, go, ge)
+        return tuple(np.asarray(o)[:B] for o in outs)
+
 
 def nn_round_sharded(mesh, q, t, qlen, tlen, query_ids, n_queries: int,
                      *, Wp: int, L: int):

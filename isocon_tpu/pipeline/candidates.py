@@ -142,7 +142,7 @@ def find_candidate_transcripts(read_file: str, params, engine):
         if all(ed == 0 for ed in edit_distances):
             break  # normal convergence
 
-        S_prime = correct_strings(
+        S_prime, _S_prime_qual = correct_strings(
             partition_alignments, seq_to_acc, step, verbose=params.verbose
         )
         for acc, s_prime in S_prime.items():

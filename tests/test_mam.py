@@ -162,5 +162,29 @@ def test_correct_strings_wrapper():
     bad = "ACGTACTTACGTACGTACGT"
     part = _make_partition(center, [(bad, 1)])
     part[center] = (0, center, center, 3)
-    got = correct_strings({center: part}, {center: ["c1"], bad: ["r1"]}, 1)
+    got, got_qual = correct_strings({center: part}, {center: ["c1"], bad: ["r1"]}, 1)
     assert got == {"r1": center}
+    assert got_qual == {}
+
+
+def test_correct_strings_quality_variant():
+    """correct_to_consensus_ccs_qual fixes the low-quality minority base
+    (correction_module.py:161-256)."""
+    from isocon_tpu.io.ccs import CCS
+
+    center = "ACGTACGTACGTACGTACGT"
+    bad = "ACGTACTTACGTACGTACGT"  # sub at pos 6 (G->T)
+    part = _make_partition(center, [(bad, 1)])
+    part[center] = (0, center, center, 3)
+    ccs = {
+        "c1": CCS("c1", center, [40] * len(center), 10),
+        "c2": CCS("c2", center, [40] * len(center), 10),
+        "c3": CCS("c3", center, [40] * len(center), 10),
+        "r1": CCS("r1", bad, [40] * 6 + [5] + [40] * 13, 10),
+    }
+    got, got_qual = correct_strings(
+        {center: part}, {center: ["c1", "c2", "c3"], bad: ["r1"]}, 1,
+        ccs_dict=ccs,
+    )
+    assert got == {"r1": center}
+    assert len(got_qual["r1"]) == len(center)
