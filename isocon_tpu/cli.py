@@ -158,6 +158,9 @@ def _add_common(p, with_stats: bool) -> None:
     p.add_argument("--cleanup", action="store_true")
     p.add_argument("--batch_pairs", type=int, default=128,
                    help="pairs per device batch (TPU engine)")
+    p.add_argument("--nontargeted", action="store_true",
+                   help="approximate sketch-retrieval candidate search "
+                        "(the reference's minimap mode)")
     if with_stats:
         p.add_argument("--p_value_threshold", type=float, default=0.01)
         p.add_argument("--min_test_ratio", type=int, default=5)

@@ -46,11 +46,18 @@ def partition_strings(S: Dict[str, str], params, engine):
             {s: 0 for s in unique_seqs}, True
 
     conv_mask = [degrees[s] > 1 for s in unique_seqs]
-    nn = nearest_neighbors(
-        unique_seqs, conv_mask, engine,
-        depth=(params.neighbor_search_depth
-               if params.neighbor_search_depth < 2 ** 31 else None),
-    )
+    if getattr(params, "nontargeted", False):
+        # approximate sketch-retrieval path (the reference's dormant minimap
+        # mode, graphs.py:85-149)
+        from .sketch_glue import approximate_nn
+
+        nn = approximate_nn(unique_seqs, conv_mask, engine)
+    else:
+        nn = nearest_neighbors(
+            unique_seqs, conv_mask, engine,
+            depth=(params.neighbor_search_depth
+                   if params.neighbor_search_depth < 2 ** 31 else None),
+        )
     edges = [
         (i, j) for i, d in enumerate(nn) for j in d if not conv_mask[i]
     ]
