@@ -190,7 +190,7 @@ def banded_sg_align(qcodes, tcodes, qlen, tlen, match, mismatch, gopen, gext,
 
     (Hl, _, _, _, best, ei, ej), dirs = jax.lax.scan(
         step, (H1, H0, E1, F1, best0, ei0, ej0),
-        jnp.arange(2, 2 + steps, dtype=jnp.int32)
+        jnp.arange(2, 2 + steps, dtype=jnp.int32), unroll=4,
     )
     dirs = jnp.transpose(dirs, (1, 0, 2))  # [B, steps, Wp]
     return best, ei, ej, dirs
@@ -259,7 +259,8 @@ def walk_traceback(dirs, qlen, tlen, end_i, end_j, *, Wp: int, L: int):
 
     init = (end_i.astype(jnp.int32), end_j.astype(jnp.int32),
             jnp.zeros((B,), jnp.int32), jnp.zeros((B,), bool))
-    (fi, fj, fst, overflow), ops = jax.lax.scan(step, init, None, length=2 * L)
+    (fi, fj, fst, overflow), ops = jax.lax.scan(step, init, None, length=2 * L,
+                                                unroll=8)
     ops = jnp.transpose(ops, (1, 0))
     # walk "done" states: st==3 (hit free start) or i==0/j==0 exhausted
     return ops, fi, fj, overflow

@@ -135,26 +135,33 @@ class PairEngine:
                 a, b = pairs[i]
                 Lb = _len_bucket(max(len(a), len(b)))
                 buckets.setdefault(Lb, []).append(i)
+            # dispatch every batch asynchronously, then collect: device work
+            # and host<->device round trips pipeline instead of serializing
+            launched = []
             for Lb, idxs in sorted(buckets.items()):
                 for s in range(0, len(idxs), self.batch_pairs):
                     chunk = idxs[s : s + self.batch_pairs]
-                    ed, ej, cert = self._run_batch(pairs, chunk, Lb, Wp, hw_mode)
-                    for pos, i in enumerate(chunk):
-                        if cert[pos]:
-                            d = int(ed[pos])
-                            ed_out[i] = d if d <= caps[i] else -1
-                            ej_out[i] = int(ej[pos])
+                    launched.append(
+                        (chunk, self._launch_batch(pairs, chunk, Lb, Wp, hw_mode))
+                    )
+            for chunk, handle in launched:
+                ed, ej, cert = self._collect_batch(handle, Wp, hw_mode)
+                for pos, i in enumerate(chunk):
+                    if cert[pos]:
+                        d = int(ed[pos])
+                        ed_out[i] = d if d <= caps[i] else -1
+                        ej_out[i] = int(ej[pos])
+                    else:
+                        # Uncertified => true ed exceeds the certified floor
+                        # of this band; give up early when that already
+                        # clears the caller's cutoff.
+                        a, b = pairs[i]
+                        floor = self._certified_floor(len(a), len(b), Wp,
+                                                      hw_mode)
+                        if floor >= caps[i]:
+                            ed_out[i] = -1
                         else:
-                            # Uncertified => true ed exceeds the certified
-                            # floor of this band; give up early when that
-                            # already clears the caller's cutoff.
-                            a, b = pairs[i]
-                            floor = self._certified_floor(len(a), len(b), Wp,
-                                                          hw_mode)
-                            if floor >= caps[i]:
-                                ed_out[i] = -1
-                            else:
-                                next_round.append(i)
+                            next_round.append(i)
             rest = next_round
             Wp *= 2
             if Wp > 4 * max(
@@ -177,7 +184,7 @@ class PairEngine:
             return -1
         return min(2 * o_hi - delta, -2 * o_lo + delta)
 
-    def _run_batch(self, pairs, chunk, Lb, Wp, hw_mode):
+    def _launch_batch(self, pairs, chunk, Lb, Wp, hw_mode):
         B = len(chunk)
         q = np.full((B, Lb), 5, dtype=np.int8)
         t = np.full((B, Lb), 6, dtype=np.int8)
@@ -204,6 +211,11 @@ class PairEngine:
         else:
             ed, ej = banded_ed(q, t, qlen, tlen, Wp=Wp, L=Lb, hw_mode=hw_mode,
                                small=small)
+        return B, ed, ej, qlen, tlen
+
+    def _collect_batch(self, handle, Wp, hw_mode):
+        B, ed, ej, qlen, tlen = handle
+        small = Wp <= 192
         ed = np.asarray(ed)[:B]
         ej = np.asarray(ej)[:B]
         cert = band_certifies(ed, qlen[:B], tlen[:B], Wp, hw_mode=hw_mode,
@@ -257,15 +269,21 @@ class PairEngine:
                 a, b = pairs[i]
                 Lb = _len_bucket(max(len(a), len(b)))
                 buckets.setdefault((Lb, bands[i]), []).append(i)
+            launched = []
             for (Lb, Wp), idxs in sorted(buckets.items()):
                 for s in range(0, len(idxs), self.batch_pairs):
                     chunk = idxs[s : s + self.batch_pairs]
-                    self._align_batch(pairs, scores, chunk, Lb, Wp, out,
-                                      next_round, bands)
+                    launched.append(
+                        (chunk, Wp, Lb,
+                         self._launch_align(pairs, scores, chunk, Lb, Wp))
+                    )
+            for chunk, Wp, Lb, handle in launched:
+                self._collect_align(pairs, chunk, Lb, Wp, handle, out,
+                                    next_round, bands)
             todo = next_round
         return out  # type: ignore[return-value]
 
-    def _align_batch(self, pairs, scores, chunk, Lb, Wp, out, next_round, bands):
+    def _launch_align(self, pairs, scores, chunk, Lb, Wp):
         B = len(chunk)
         Bp = self.batch_pairs
         q = np.full((Bp, Lb), 5, dtype=np.int8)
@@ -285,11 +303,16 @@ class PairEngine:
             m_, x_, o_, e_ = scores[i]
             ma[pos], mi[pos], go[pos], ge[pos] = m_, -abs(x_), o_, e_
         if self.sharder is not None:
-            best, ei, ej, ops, fi, fj, overflow = self.sharder.sg_align_with_ops(
+            outs = self.sharder.sg_align_with_ops(
                 q, t, qlen, tlen, ma, mi, go, ge, Wp=Wp, L=Lb)
         else:
-            best, ei, ej, ops, fi, fj, overflow = sg_align_with_ops(
+            outs = sg_align_with_ops(
                 q, t, qlen, tlen, ma, mi, go, ge, Wp=Wp, L=Lb)
+        return outs
+
+    def _collect_align(self, pairs, chunk, Lb, Wp, handle, out, next_round,
+                       bands):
+        best, ei, ej, ops, fi, fj, overflow = handle
         ei = np.asarray(ei)
         ej = np.asarray(ej)
         ops = np.asarray(ops)

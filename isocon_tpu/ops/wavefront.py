@@ -173,7 +173,8 @@ def banded_ed(qcodes, tcodes, qlen, tlen, *, Wp: int, L: int,
         return (new, A, res, endj), None
 
     (_, _, res, endj), _ = jax.lax.scan(
-        step, (A0, B0, res0, endj0), jnp.arange(2, 2 + steps, dtype=jnp.int32)
+        step, (A0, B0, res0, endj0), jnp.arange(2, 2 + steps, dtype=jnp.int32),
+        unroll=8,
     )
     if not hw_mode:
         endj = tlen.astype(jnp.int32)
