@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 READS = "/root/reference/test/data/simulated_pacbio_reads_n_500.fa"
 L = 2048
 WP = 128
-BATCH = 256
+BATCH = 512
 N_BATCHES = 8
 CPU_PAIRS = 64
 
@@ -62,6 +62,7 @@ def build_pairs():
 def bench_device(q, t, qlen, tlen):
     import jax
     from isocon_tpu.ops.wavefront import banded_ed
+    from isocon_tpu.ops.wavefront_pallas import banded_ed_pallas
 
     # stage batches on device first: the timed region measures chip
     # throughput, not host->device transfer (which the pipeline overlaps)
@@ -73,16 +74,18 @@ def bench_device(q, t, qlen, tlen):
 
     def run(i):
         qb, tb, qlb, tlb = batches[i]
-        ed, _ej = banded_ed(qb, tb, qlb, tlb, Wp=WP, L=L, small=True)
+        ed, _ej = banded_ed_pallas(qb, tb, qlb, tlb, Wp=WP, L=L)
         return ed
 
-    run(0).block_until_ready()  # warmup/compile
+    np.asarray(run(0))  # warmup/compile; asarray = forced materialization
     best = 0.0
     for _rep in range(3):
+        # launch everything, then force every result: the engine's async
+        # dispatch pattern (block_until_ready alone is unreliable over the
+        # remote tunnel; np.asarray cannot lie)
         t0 = time.perf_counter()
         outs = [run(i) for i in range(N_BATCHES)]
-        for o in outs:
-            o.block_until_ready()
+        vals = [np.asarray(o) for o in outs]
         dt = time.perf_counter() - t0
         best = max(best, BATCH * N_BATCHES / dt)
     return best

@@ -58,12 +58,19 @@ class PairEngine:
     """Batched exact edit distances over explicit pair lists."""
 
     def __init__(self, batch_pairs: int = 256, w0: int = 128,
-                 host_threshold: int = 0, sharder=None):
+                 host_threshold: int = 0, sharder=None, use_pallas=None):
         enable_compilation_cache()
         self.batch_pairs = batch_pairs
         self.w0 = w0
         self.host_threshold = host_threshold  # pairs shorter than this -> numpy
         self.sharder = sharder  # optional parallel.Sharder for multi-device runs
+        if use_pallas is None:
+            import jax
+
+            use_pallas = (
+                jax.default_backend() != "cpu" and batch_pairs % 128 == 0
+            )
+        self.use_pallas = use_pallas
         self._enc_cache: dict = {}
 
     def _enc(self, s: str) -> np.ndarray:
@@ -208,6 +215,12 @@ class PairEngine:
         if self.sharder is not None:
             ed, ej = self.sharder.banded_ed(q, t, qlen, tlen, Wp=Wp, L=Lb,
                                             hw_mode=hw_mode, small=small)
+        elif (self.use_pallas and Wp == 128 and Lb % 64 == 0
+              and qlen.shape[0] % 128 == 0):
+            from .wavefront_pallas import banded_ed_pallas
+
+            ed, ej = banded_ed_pallas(q, t, qlen, tlen, Wp=Wp, L=Lb,
+                                      hw_mode=hw_mode)
         else:
             ed, ej = banded_ed(q, t, qlen, tlen, Wp=Wp, L=Lb, hw_mode=hw_mode,
                                small=small)
