@@ -1,0 +1,244 @@
+"""Bit-parallel Myers edit distance on the VPU (Pallas TPU kernel).
+
+The wavefront kernels pay cross-lane shifts per DP diagonal; this kernel
+eliminates cross-lane work entirely with Myers' bit-vector formulation
+(Myers 1999 / Hyyro 2003): DP columns are vertical-delta bit vectors packed
+32 rows per uint32 word, and one text character advances 32 rows with ~16
+elementwise int32 ops -- the intra-word carry is a native integer add.
+Lanes x sublanes hold 1024 independent pairs ([8, 128] per word), so every
+op is a full-vreg elementwise instruction.
+
+Banding: a 5-word (160-row) window follows the diagonal.  Phases of 32 text
+chars form a *python-unrolled* loop, so active word indices are static; the
+window advances one word per phase with W0(p) = clamp(p-2, 0, nwords-5),
+guaranteeing rows [j-64, j+64] stay active.  The window top feeds hin=+1
+(exact at row 0, a monotone upper bound after -- the same
+certify-or-escalate contract as the wavefront kernels); fresh bottom words
+enter as all-(+1) vertical deltas.
+
+Answer extraction (per-pair (n, m) endpoints, n <= m enforced by a host
+swap -- ED is symmetric):
+  * S(j) = D[j][j] is tracked incrementally: S(j) - S(j-1) = the vertical
+    delta bit (row j, column j-1 state) plus the horizontal delta bit
+    (row j, fresh Ph/Mh of column j); within phase p, row j lives at the
+    static window word p, bit s = (j-1) % 32.
+  * at column n the lane latches base = D[n][n];
+  * for columns n < c <= m the lane accumulates the horizontal delta of
+    row n (per-pair word/bit select over the window's fresh Ph/Mh planes);
+  * final D[n][m] = base + walk.
+
+Certified exact iff 0 <= delta <= 63 (after swap) and (v + delta)/2 <= 64
+and (v - delta)/2 <= 64; everything else escalates to the wavefront int16
+kernel.
+
+Alphabet: codes {0,1,2,3,5} have Peq planes (ACGT + N, matching edlib's
+identical-character rule); other codes never match.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK = 1024          # pairs per grid step: 8 sublanes x 128 lanes
+SUB = 8
+LANES = 128
+PLANES = (0, 1, 2, 3, 5)
+WIN = 5               # active words (160 rows)
+
+ONES = np.uint32(0xFFFFFFFF)
+
+
+def _kernel(peq_ref, text_ref, nlen_ref, mlen_ref, nword_ref, nbit_ref,
+            out_ref, pv_ref, mv_ref, *, L: int):
+    """peq_ref: [len(PLANES) * nwords * SUB, LANES] uint32
+    text_ref: [L * SUB, LANES] int8 codes
+    nlen/mlen: [SUB, LANES] int32 (n <= m)
+    nword/nbit: [SUB, LANES] int32 -- word index (n-1)//32 and a uint32
+      single-bit mask 1 << ((n-1)%32) for the row-n walk
+    out_ref: [SUB, LANES] int32 final D[n][m]
+    scratch pv/mv: [nwords * SUB, LANES] uint32
+    """
+    nwords = L // 32
+    nphases = L // 32
+
+    nlen = nlen_ref[:]
+    mlen = mlen_ref[:]
+    nword = nword_ref[:]
+    nbit = nbit_ref[:].astype(jnp.uint32)
+
+    for w in range(nwords):
+        pv_ref[w * SUB : (w + 1) * SUB, :] = jnp.full((SUB, LANES), ONES,
+                                                      jnp.uint32)
+        mv_ref[w * SUB : (w + 1) * SUB, :] = jnp.zeros((SUB, LANES),
+                                                       jnp.uint32)
+    # carry: (S_diag, base, walk) packed into out-like planes via refs?
+    # keep them in the fori carry instead.
+
+    def make_char_step(W0, p):
+        wd = p - W0  # static window slot holding the diagonal word
+
+        def char_step(s, carry):
+            sdiag, base, walk = carry
+            j = 32 * p + s + 1        # 1-indexed column
+            trow = text_ref[pl.ds(pl.multiple_of((32 * p + s) * SUB, SUB),
+                                  SUB), :]
+
+            # vertical delta at (row j, column j-1): bit s of window word wd
+            pv_d = pv_ref[(W0 + wd) * SUB : (W0 + wd + 1) * SUB, :]
+            mv_d = mv_ref[(W0 + wd) * SUB : (W0 + wd + 1) * SUB, :]
+            su = s.astype(jnp.uint32)
+            vplus = (jnp.right_shift(pv_d, su) & jnp.uint32(1)).astype(jnp.int32)
+            vminus = (jnp.right_shift(mv_d, su) & jnp.uint32(1)).astype(jnp.int32)
+            sdiag = sdiag + vplus - vminus
+
+            hp = jnp.ones((SUB, LANES), jnp.uint32)   # hin = +1 at window top
+            hm = jnp.zeros((SUB, LANES), jnp.uint32)
+            ph_words = []
+            mh_words = []
+            for w in range(W0, W0 + WIN):
+                sl = slice(w * SUB, (w + 1) * SUB)
+                pv = pv_ref[sl, :]
+                mv = mv_ref[sl, :]
+                eq = jnp.zeros((SUB, LANES), jnp.uint32)
+                for ci, code in enumerate(PLANES):
+                    plane = peq_ref[(ci * nwords + w) * SUB:
+                                    (ci * nwords + w + 1) * SUB, :]
+                    eq = jnp.where(trow == code, plane, eq)
+
+                xv = eq | mv
+                eq = eq | hm
+                xh = (((eq & pv) + pv) ^ pv) | eq
+                ph = mv | ~(xh | pv)
+                mh = pv & xh
+                ph_words.append(ph)
+                mh_words.append(mh)
+                hout_p = jnp.right_shift(ph, jnp.uint32(31))
+                hout_m = jnp.right_shift(mh, jnp.uint32(31))
+                ph = jnp.left_shift(ph, jnp.uint32(1)) | hp
+                mh = jnp.left_shift(mh, jnp.uint32(1)) | hm
+                pv_ref[sl, :] = mh | ~(xv | ph)
+                mv_ref[sl, :] = ph & xv
+                hp, hm = hout_p, hout_m
+
+            # horizontal delta at (row j, column j): bit s of fresh word wd
+            hplus = (jnp.right_shift(ph_words[wd], su) & jnp.uint32(1)).astype(
+                jnp.int32)
+            hminus = (jnp.right_shift(mh_words[wd], su) & jnp.uint32(1)).astype(
+                jnp.int32)
+            sdiag = sdiag + hplus - hminus
+
+            # latch base = D[n][n] when j == n
+            base = jnp.where(j == nlen, sdiag, base)
+
+            # row-n walk: horizontal delta at per-pair row n for n < j <= m
+            hsel_p = jnp.zeros((SUB, LANES), jnp.uint32)
+            hsel_m = jnp.zeros((SUB, LANES), jnp.uint32)
+            for idx, w in enumerate(range(W0, W0 + WIN)):
+                cond = nword == w
+                hsel_p = jnp.where(cond, ph_words[idx], hsel_p)
+                hsel_m = jnp.where(cond, mh_words[idx], hsel_m)
+            hbp = ((hsel_p & nbit) != 0).astype(jnp.int32)
+            hbm = ((hsel_m & nbit) != 0).astype(jnp.int32)
+            in_walk = (j > nlen) & (j <= mlen)
+            walk = walk + jnp.where(in_walk, hbp - hbm, 0)
+
+            return (sdiag, base, walk)
+
+        return char_step
+
+    sdiag = jnp.zeros((SUB, LANES), jnp.int32)
+    base = jnp.zeros((SUB, LANES), jnp.int32)
+    walk = jnp.zeros((SUB, LANES), jnp.int32)
+    carry = (sdiag, base, walk)
+    for p in range(nphases):
+        W0 = min(max(p - 2, 0), nwords - WIN)
+        carry = jax.lax.fori_loop(0, 32, make_char_step(W0, p), carry)
+    sdiag, base, walk = carry
+    out_ref[:] = base + walk
+
+
+@functools.partial(jax.jit, static_argnames=("L", "interpret"))
+def myers_ed_pallas(qcodes, tcodes, qlen, tlen, *, L: int,
+                    interpret: bool = False):
+    """Batched banded Myers NW edit distance; B multiple of 1024, L multiple
+    of 32 with L >= 160.  Swaps q/t per pair so that len(q) <= len(t).
+    Returns ed [B] int32 (certified per ``myers_certifies``)."""
+    assert L % 32 == 0 and L >= 160
+    B = qcodes.shape[0]
+    assert B % BLOCK == 0
+    nwords = L // 32
+
+    # enforce n <= m by swapping (ED is symmetric)
+    swap = qlen > tlen
+    q_ = jnp.where(swap[:, None], tcodes, qcodes)
+    t_ = jnp.where(swap[:, None], qcodes, tcodes)
+    n_ = jnp.where(swap, tlen, qlen).astype(jnp.int32)
+    m_ = jnp.where(swap, qlen, tlen).astype(jnp.int32)
+
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    q = jnp.where(pos < n_[:, None], q_.astype(jnp.int32), 7)
+    t = jnp.where(pos < m_[:, None], t_.astype(jnp.int8), 6)
+
+    weights = jnp.left_shift(
+        jnp.uint32(1), jnp.arange(32, dtype=jnp.uint32)
+    )[None, None, :]
+    planes = []
+    for code in PLANES:
+        bits = (q == code).reshape(B, nwords, 32).astype(jnp.uint32)
+        planes.append(jnp.sum(bits * weights, axis=2, dtype=jnp.uint32))
+    peq = jnp.stack(planes)  # [P, B, nwords]
+
+    nword = (n_ - 1) // 32
+    nbit = jnp.left_shift(
+        jnp.uint32(1), ((n_ - 1) % 32).astype(jnp.uint32)
+    )  # stays uint32: converting 1<<31 to int32 would overflow
+
+    G = B // BLOCK
+
+    def pack_pairs(arr):
+        # arr [B, R] -> [G * R * SUB, LANES]; pair b = g*BLOCK + s*LANES + l
+        R = arr.shape[1]
+        a = arr.reshape(G, SUB, LANES, R)
+        a = jnp.transpose(a, (0, 3, 1, 2))
+        return a.reshape(G * R * SUB, LANES)
+
+    peq_packed = jnp.concatenate(
+        [pack_pairs(peq[ci]).reshape(G, -1, LANES) for ci in range(len(PLANES))],
+        axis=1,
+    ).reshape(G * len(PLANES) * nwords * SUB, LANES)
+    text_packed = pack_pairs(t)
+    nlen_packed = pack_pairs(n_[:, None])
+    mlen_packed = pack_pairs(m_[:, None])
+    nword_packed = pack_pairs(nword[:, None])
+    nbit_packed = pack_pairs(nbit[:, None])
+
+    PEQR = len(PLANES) * nwords * SUB
+    vec = lambda rows: pl.BlockSpec((rows, LANES), lambda g: (g, 0),
+                                    memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_kernel, L=L),
+        out_shape=jax.ShapeDtypeStruct((G * SUB, LANES), jnp.int32),
+        grid=(G,),
+        in_specs=[vec(PEQR), vec(L * SUB), vec(SUB), vec(SUB), vec(SUB),
+                  vec(SUB)],
+        out_specs=vec(SUB),
+        scratch_shapes=[
+            pltpu.VMEM((nwords * SUB, LANES), jnp.uint32),
+            pltpu.VMEM((nwords * SUB, LANES), jnp.uint32),
+        ],
+        interpret=interpret,
+    )(peq_packed, text_packed, nlen_packed, mlen_packed, nword_packed,
+      nbit_packed)
+    return out.reshape(B)
+
+
+def myers_certifies(ed: np.ndarray, qlen: np.ndarray, tlen: np.ndarray
+                    ) -> np.ndarray:
+    delta = np.abs(tlen.astype(np.int64) - qlen.astype(np.int64))
+    v = ed.astype(np.int64)
+    return (v + delta <= 128) & (v - delta <= 128) & (delta <= 63) & (v >= 0)
