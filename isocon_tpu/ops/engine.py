@@ -71,6 +71,9 @@ class PairEngine:
                 jax.default_backend() != "cpu" and batch_pairs % 128 == 0
             )
         self.use_pallas = use_pallas
+        self.myers_sub = 32 if batch_pairs >= 4096 else (
+            batch_pairs // 128 if batch_pairs % 128 == 0 else 0
+        )
         self._enc_cache: dict = {}
 
     def _enc(self, s: str) -> np.ndarray:
@@ -215,8 +218,18 @@ class PairEngine:
         if self.sharder is not None:
             ed, ej = self.sharder.banded_ed(q, t, qlen, tlen, Wp=Wp, L=Lb,
                                             hw_mode=hw_mode, small=small)
-        elif (self.use_pallas and Wp == 128 and Lb % 64 == 0
-              and qlen.shape[0] % 128 == 0):
+            return ("wave", small), B, ed, ej, qlen, tlen
+        if (self.use_pallas and self.myers_sub >= 8 and not hw_mode
+                and Wp == 128 and Lb >= 160 and Lb % 32 == 0
+                and qlen.shape[0] % (self.myers_sub * 128) == 0):
+            # primary NW path: bit-parallel Myers kernel
+            from .myers_pallas import myers_ed_pallas
+
+            ed = myers_ed_pallas(q, t, qlen, tlen, L=Lb, sub=self.myers_sub)
+            ej = tlen
+            return ("myers", False), B, ed, ej, qlen, tlen
+        if (self.use_pallas and Wp == 128 and Lb % 64 == 0
+                and qlen.shape[0] % 128 == 0):
             from .wavefront_pallas import banded_ed_pallas
 
             ed, ej = banded_ed_pallas(q, t, qlen, tlen, Wp=Wp, L=Lb,
@@ -224,15 +237,19 @@ class PairEngine:
         else:
             ed, ej = banded_ed(q, t, qlen, tlen, Wp=Wp, L=Lb, hw_mode=hw_mode,
                                small=small)
-        return B, ed, ej, qlen, tlen
+        return ("wave", small), B, ed, ej, qlen, tlen
 
     def _collect_batch(self, handle, Wp, hw_mode):
-        B, ed, ej, qlen, tlen = handle
-        small = Wp <= 192
+        (kind, small), B, ed, ej, qlen, tlen = handle
         ed = np.asarray(ed)[:B]
         ej = np.asarray(ej)[:B]
-        cert = band_certifies(ed, qlen[:B], tlen[:B], Wp, hw_mode=hw_mode,
-                              small=small)
+        if kind == "myers":
+            from .myers_pallas import myers_certifies
+
+            cert = myers_certifies(ed, qlen[:B], tlen[:B])
+        else:
+            cert = band_certifies(ed, qlen[:B], tlen[:B], Wp, hw_mode=hw_mode,
+                                  small=small)
         return ed, ej, cert
 
     # ------------------------------------------------------------------

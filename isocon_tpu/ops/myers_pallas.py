@@ -44,8 +44,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK = 1024          # pairs per grid step: 8 sublanes x 128 lanes
-SUB = 8
+BLOCK = 1024          # default pairs per grid step (SUB * LANES)
+SUB = 8   # sublane rows per word plane; raise to pack more pairs per op
 LANES = 128
 PLANES = (0, 1, 2, 3, 5)
 WIN = 5               # active words (160 rows)
@@ -54,7 +54,7 @@ ONES = np.uint32(0xFFFFFFFF)
 
 
 def _kernel(peq_ref, text_ref, nlen_ref, mlen_ref, nword_ref, nbit_ref,
-            out_ref, pv_ref, mv_ref, *, L: int):
+            out_ref, pv_ref, mv_ref, *, L: int, SUB: int):
     """peq_ref: [len(PLANES) * nwords * SUB, LANES] uint32
     text_ref: [L * SUB, LANES] int8 codes
     nlen/mlen: [SUB, LANES] int32 (n <= m)
@@ -86,7 +86,7 @@ def _kernel(peq_ref, text_ref, nlen_ref, mlen_ref, nword_ref, nbit_ref,
             sdiag, base, walk = carry
             j = 32 * p + s + 1        # 1-indexed column
             trow = text_ref[pl.ds(pl.multiple_of((32 * p + s) * SUB, SUB),
-                                  SUB), :]
+                                  SUB), :].astype(jnp.int32)
 
             # vertical delta at (row j, column j-1): bit s of window word wd
             pv_d = pv_ref[(W0 + wd) * SUB : (W0 + wd + 1) * SUB, :]
@@ -162,15 +162,17 @@ def _kernel(peq_ref, text_ref, nlen_ref, mlen_ref, nword_ref, nbit_ref,
     out_ref[:] = base + walk
 
 
-@functools.partial(jax.jit, static_argnames=("L", "interpret"))
+@functools.partial(jax.jit, static_argnames=("L", "interpret", "sub"))
 def myers_ed_pallas(qcodes, tcodes, qlen, tlen, *, L: int,
-                    interpret: bool = False):
+                    interpret: bool = False, sub: int = SUB):
     """Batched banded Myers NW edit distance; B multiple of 1024, L multiple
     of 32 with L >= 160.  Swaps q/t per pair so that len(q) <= len(t).
     Returns ed [B] int32 (certified per ``myers_certifies``)."""
     assert L % 32 == 0 and L >= 160
+    SUBX = sub
+    block = SUBX * LANES
     B = qcodes.shape[0]
-    assert B % BLOCK == 0
+    assert B % block == 0
     nwords = L // 32
 
     # enforce n <= m by swapping (ED is symmetric)
@@ -198,38 +200,38 @@ def myers_ed_pallas(qcodes, tcodes, qlen, tlen, *, L: int,
         jnp.uint32(1), ((n_ - 1) % 32).astype(jnp.uint32)
     )  # stays uint32: converting 1<<31 to int32 would overflow
 
-    G = B // BLOCK
+    G = B // block
 
     def pack_pairs(arr):
         # arr [B, R] -> [G * R * SUB, LANES]; pair b = g*BLOCK + s*LANES + l
         R = arr.shape[1]
-        a = arr.reshape(G, SUB, LANES, R)
+        a = arr.reshape(G, SUBX, LANES, R)
         a = jnp.transpose(a, (0, 3, 1, 2))
-        return a.reshape(G * R * SUB, LANES)
+        return a.reshape(G * R * SUBX, LANES)
 
     peq_packed = jnp.concatenate(
         [pack_pairs(peq[ci]).reshape(G, -1, LANES) for ci in range(len(PLANES))],
         axis=1,
-    ).reshape(G * len(PLANES) * nwords * SUB, LANES)
+    ).reshape(G * len(PLANES) * nwords * SUBX, LANES)
     text_packed = pack_pairs(t)
     nlen_packed = pack_pairs(n_[:, None])
     mlen_packed = pack_pairs(m_[:, None])
     nword_packed = pack_pairs(nword[:, None])
     nbit_packed = pack_pairs(nbit[:, None])
 
-    PEQR = len(PLANES) * nwords * SUB
+    PEQR = len(PLANES) * nwords * SUBX
     vec = lambda rows: pl.BlockSpec((rows, LANES), lambda g: (g, 0),
                                     memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_kernel, L=L),
-        out_shape=jax.ShapeDtypeStruct((G * SUB, LANES), jnp.int32),
+        functools.partial(_kernel, L=L, SUB=SUBX),
+        out_shape=jax.ShapeDtypeStruct((G * SUBX, LANES), jnp.int32),
         grid=(G,),
-        in_specs=[vec(PEQR), vec(L * SUB), vec(SUB), vec(SUB), vec(SUB),
-                  vec(SUB)],
-        out_specs=vec(SUB),
+        in_specs=[vec(PEQR), vec(L * SUBX), vec(SUBX), vec(SUBX), vec(SUBX),
+                  vec(SUBX)],
+        out_specs=vec(SUBX),
         scratch_shapes=[
-            pltpu.VMEM((nwords * SUB, LANES), jnp.uint32),
-            pltpu.VMEM((nwords * SUB, LANES), jnp.uint32),
+            pltpu.VMEM((nwords * SUBX, LANES), jnp.uint32),
+            pltpu.VMEM((nwords * SUBX, LANES), jnp.uint32),
         ],
         interpret=interpret,
     )(peq_packed, text_packed, nlen_packed, mlen_packed, nword_packed,
