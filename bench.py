@@ -23,8 +23,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 READS = "/root/reference/test/data/simulated_pacbio_reads_n_500.fa"
 L = 2048
 WP = 128
-BATCH = 4096
-N_BATCHES = 4
+BATCH = 65536  # sub=16 x 128 lanes x 32 grid blocks
+N_BATCHES = 2
 CPU_PAIRS = 64
 
 
@@ -74,7 +74,7 @@ def bench_device(q, t, qlen, tlen):
 
     def run(i):
         qb, tb, qlb, tlb = batches[i]
-        return myers_ed_pallas(qb, tb, qlb, tlb, L=L, sub=BATCH // 128)
+        return myers_ed_pallas(qb, tb, qlb, tlb, L=L, sub=16)
 
     np.asarray(run(0))  # warmup/compile; asarray = forced materialization
     best = 0.0

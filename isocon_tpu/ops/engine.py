@@ -58,7 +58,8 @@ class PairEngine:
     """Batched exact edit distances over explicit pair lists."""
 
     def __init__(self, batch_pairs: int = 256, w0: int = 128,
-                 host_threshold: int = 0, sharder=None, use_pallas=None):
+                 host_threshold: int = 0, sharder=None, use_pallas=None,
+                 ed_batch: int = None):
         enable_compilation_cache()
         self.batch_pairs = batch_pairs
         self.w0 = w0
@@ -71,8 +72,13 @@ class PairEngine:
                 jax.default_backend() != "cpu" and batch_pairs % 128 == 0
             )
         self.use_pallas = use_pallas
-        self.myers_sub = 32 if batch_pairs >= 4096 else (
-            batch_pairs // 128 if batch_pairs % 128 == 0 else 0
+        if ed_batch is None:
+            # the Myers kernel amortizes its fixed dispatch cost over many
+            # sequential grid blocks; big distance batches are nearly free
+            ed_batch = 65536 if use_pallas else batch_pairs
+        self.ed_batch = ed_batch
+        self.myers_sub = 16 if ed_batch >= 2048 else (
+            ed_batch // 128 if ed_batch % 128 == 0 else 0
         )
         self._enc_cache: dict = {}
 
@@ -149,8 +155,8 @@ class PairEngine:
             # and host<->device round trips pipeline instead of serializing
             launched = []
             for Lb, idxs in sorted(buckets.items()):
-                for s in range(0, len(idxs), self.batch_pairs):
-                    chunk = idxs[s : s + self.batch_pairs]
+                for s in range(0, len(idxs), self.ed_batch):
+                    chunk = idxs[s : s + self.ed_batch]
                     launched.append(
                         (chunk, self._launch_batch(pairs, chunk, Lb, Wp, hw_mode))
                     )
@@ -207,8 +213,15 @@ class PairEngine:
             t[pos, : len(eb)] = eb
             qlen[pos] = len(ea)
             tlen[pos] = len(eb)
-        # pad batch to full size for shape stability
-        Bp = self.batch_pairs
+        # pad batch to a myers-block multiple (or the full ed_batch when
+        # the wavefront path will run, for shape stability)
+        if (self.use_pallas and self.myers_sub >= 8 and not hw_mode
+                and Wp == 128 and Lb >= 160):
+            blk = self.myers_sub * 128
+            Bp = min(self.ed_batch, -(-B // blk) * blk)
+        else:
+            Bp = min(self.ed_batch, self.batch_pairs) if B <= min(
+                self.ed_batch, self.batch_pairs) else -(-B // 128) * 128
         if B < Bp:
             q = np.pad(q, ((0, Bp - B), (0, 0)), constant_values=5)
             t = np.pad(t, ((0, Bp - B), (0, 0)), constant_values=6)
