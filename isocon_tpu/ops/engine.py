@@ -218,10 +218,16 @@ class PairEngine:
         if (self.use_pallas and self.myers_sub >= 8 and not hw_mode
                 and Wp == 128 and Lb >= 160):
             blk = self.myers_sub * 128
-            Bp = min(self.ed_batch, -(-B // blk) * blk)
+            nblk = -(-B // blk)
+            nblk = 1 << (nblk - 1).bit_length()  # power-of-2 grid sizes only
+            Bp = min(self.ed_batch, nblk * blk)
         else:
-            Bp = min(self.ed_batch, self.batch_pairs) if B <= min(
-                self.ed_batch, self.batch_pairs) else -(-B // 128) * 128
+            cap = min(self.ed_batch, self.batch_pairs)
+            if B <= cap:
+                Bp = cap
+            else:
+                nchunk = -(-B // 128)
+                Bp = (1 << (nchunk - 1).bit_length()) * 128
         if B < Bp:
             q = np.pad(q, ((0, Bp - B), (0, 0)), constant_values=5)
             t = np.pad(t, ((0, Bp - B), (0, 0)), constant_values=6)
