@@ -185,7 +185,10 @@ def ends_ignored_nn_graph(
     for (i, j) in survivors:
         q_seq, q_acc = ordered[i]
         t_seq, t_acc = ordered[j]
-        ed, start_j, end_j, ops = oracle.edit_distance_hw(q_seq, t_seq)
+        res = oracle.edit_distance_hw_banded(q_seq, t_seq)
+        if res is None:
+            res = oracle.edit_distance_hw(q_seq, t_seq)
+        ed, start_j, end_j, ops = res
         if ed > max_ed_allowed:
             continue
         adj = _adjust_hw_distance(ed, ops, start_j, end_j, len(t_seq),
