@@ -145,11 +145,20 @@ class PairEngine:
         Wp = self.w0
         while rest:
             next_round: List[int] = []
-            # bucket by padded length
+            # bucket by padded length; the Myers path collapses to power-of-2
+            # buckets >= 2048 so only one or two kernel shapes ever compile
+            myers_ok = (self.use_pallas and self.myers_sub >= 8
+                        and not hw_mode and Wp == 128)
             buckets: dict = {}
             for i in rest:
                 a, b = pairs[i]
-                Lb = _len_bucket(max(len(a), len(b)))
+                ln = max(len(a), len(b))
+                if myers_ok:
+                    Lb = 2048
+                    while Lb < ln:
+                        Lb *= 2
+                else:
+                    Lb = _len_bucket(ln)
                 buckets.setdefault(Lb, []).append(i)
             # dispatch every batch asynchronously, then collect: device work
             # and host<->device round trips pipeline instead of serializing
