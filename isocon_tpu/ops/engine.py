@@ -317,7 +317,9 @@ class PairEngine:
                 w = 2 * (delta + 2 * int(hint)) + 64
             else:
                 w = 2 * delta + 256
-            bands[i] = max(self.w0, int(2 ** math.ceil(math.log2(max(w, 64)))))
+            # floor at 256 so one band shape covers the common case (keeps
+            # the compiled-shape set small; escalation still doubles)
+            bands[i] = max(256, int(2 ** math.ceil(math.log2(max(w, 64)))))
             todo.append(i)
 
         while todo:
@@ -325,7 +327,13 @@ class PairEngine:
             buckets: dict = {}
             for i in todo:
                 a, b = pairs[i]
-                Lb = _len_bucket(max(len(a), len(b)))
+                ln = max(len(a), len(b))
+                if self.use_pallas:
+                    Lb = 2048
+                    while Lb < ln:
+                        Lb *= 2
+                else:
+                    Lb = _len_bucket(ln)
                 buckets.setdefault((Lb, bands[i]), []).append(i)
             launched = []
             for (Lb, Wp), idxs in sorted(buckets.items()):
