@@ -16,7 +16,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
 
 from ..ops.affine import banded_sg_align
 from ..ops.wavefront import banded_ed
@@ -104,6 +107,53 @@ class Sharder:
 
         outs = jax.jit(run)(q, t, qlen, tlen, ma, mi, go, ge)
         return tuple(np.asarray(o)[:B] for o in outs)
+
+
+def nn_round_sharded_2d(mesh2d, seqs, lens, *, Wp: int, L: int):
+    """2-D blocked all-pairs distance minima (SURVEY.md section 5): a
+    ("rows", "cols") mesh tiles the pairwise matrix; device (i, j) computes
+    banded EDs of its row-block against its column-block, reduces row
+    minima locally, then merges across the "cols" axis with pmin and
+    gathers row blocks across "rows".
+
+    seqs: [N, L] int8 codes (replicated input); lens: [N] int32.
+    Returns [N] int32 min positive ED per sequence (2^30 where none in
+    band).
+    """
+    ax_r, ax_c = mesh2d.axis_names
+    R = mesh2d.shape[ax_r]
+    C = mesh2d.shape[ax_c]
+    N = seqs.shape[0]
+    assert N % (R * C) == 0, "pad N to a multiple of the mesh size"
+    nr = N // R   # rows per row-block
+    nc = N // C   # cols per col-block
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh2d,
+        in_specs=(P(), P()),
+        out_specs=P(ax_r),
+        check_rep=False,
+    )
+    def run(all_seqs, all_lens):
+        i = jax.lax.axis_index(ax_r)
+        j = jax.lax.axis_index(ax_c)
+        rows = jax.lax.dynamic_slice(all_seqs, (i * nr, 0), (nr, L))
+        rlens = jax.lax.dynamic_slice(all_lens, (i * nr,), (nr,))
+        cols = jax.lax.dynamic_slice(all_seqs, (j * nc, 0), (nc, L))
+        clens = jax.lax.dynamic_slice(all_lens, (j * nc,), (nc,))
+        # all row x col pairs of this tile
+        q = jnp.repeat(rows, nc, axis=0)
+        ql = jnp.repeat(rlens, nc)
+        t = jnp.tile(cols, (nr, 1))
+        tl = jnp.tile(clens, nr)
+        ed, _ = banded_ed(q, t, ql, tl, Wp=Wp, L=L)
+        # mask the self-diagonal (ed == 0 to itself)
+        ed = jnp.where(ed <= 0, 2 ** 30, ed)
+        local_min = jnp.min(ed.reshape(nr, nc), axis=1)
+        return jax.lax.pmin(local_min, ax_c)
+
+    return jax.jit(run)(seqs, lens)
 
 
 def nn_round_sharded(mesh, q, t, qlen, tlen, query_ids, n_queries: int,
