@@ -72,6 +72,11 @@ class PairEngine:
                 jax.default_backend() != "cpu" and batch_pairs % 128 == 0
             )
         self.use_pallas = use_pallas
+        if use_pallas:
+            # the affine scan's cost is per-step, not per-pair: bigger align
+            # batches are nearly free, and fewer device calls amortize the
+            # fixed per-call latency
+            self.batch_pairs = batch_pairs = max(batch_pairs, 512)
         if ed_batch is None:
             # the Myers kernel amortizes its fixed dispatch cost over many
             # sequential grid blocks; big distance batches are nearly free
