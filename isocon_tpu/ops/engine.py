@@ -253,7 +253,7 @@ class PairEngine:
                                             hw_mode=hw_mode, small=small)
             return ("wave", small), B, ed, ej, qlen, tlen
         if (self.use_pallas and self.myers_sub >= 8 and not hw_mode
-                and Wp == 128 and Lb >= 160 and Lb % 32 == 0
+                and Wp == 128 and Lb >= 256 and Lb % 32 == 0
                 and qlen.shape[0] % (self.myers_sub * 128) == 0):
             # primary NW path: bit-parallel Myers kernel
             from .myers_pallas import myers_ed_pallas

@@ -48,7 +48,7 @@ BLOCK = 1024          # default pairs per grid step (SUB * LANES)
 SUB = 8   # sublane rows per word plane; raise to pack more pairs per op
 LANES = 128
 PLANES = (0, 1, 2, 3, 5)
-WIN = 5               # active words (160 rows)
+WIN = 7               # active words (224 rows; certification radius 96)
 
 ONES = np.uint32(0xFFFFFFFF)
 
@@ -156,7 +156,7 @@ def _kernel(peq_ref, text_ref, nlen_ref, mlen_ref, nword_ref, nbit_ref,
     walk = jnp.zeros((SUB, LANES), jnp.int32)
     carry = (sdiag, base, walk)
     for p in range(nphases):
-        W0 = min(max(p - 2, 0), nwords - WIN)
+        W0 = min(max(p - (WIN // 2), 0), nwords - WIN)
         carry = jax.lax.fori_loop(0, 32, make_char_step(W0, p), carry)
     sdiag, base, walk = carry
     out_ref[:] = base + walk
@@ -168,7 +168,7 @@ def myers_ed_pallas(qcodes, tcodes, qlen, tlen, *, L: int,
     """Batched banded Myers NW edit distance; B multiple of 1024, L multiple
     of 32 with L >= 160.  Swaps q/t per pair so that len(q) <= len(t).
     Returns ed [B] int32 (certified per ``myers_certifies``)."""
-    assert L % 32 == 0 and L >= 160
+    assert L % 32 == 0 and L >= 32 * WIN
     SUBX = sub
     block = SUBX * LANES
     B = qcodes.shape[0]
@@ -241,6 +241,12 @@ def myers_ed_pallas(qcodes, tcodes, qlen, tlen, *, L: int,
 
 def myers_certifies(ed: np.ndarray, qlen: np.ndarray, tlen: np.ndarray
                     ) -> np.ndarray:
+    margin = 32 * (WIN // 2)  # rows guaranteed active on both diagonal sides
     delta = np.abs(tlen.astype(np.int64) - qlen.astype(np.int64))
     v = ed.astype(np.int64)
-    return (v + delta <= 128) & (v - delta <= 128) & (delta <= 63) & (v >= 0)
+    return (
+        (v + delta <= 2 * margin)
+        & (v - delta <= 2 * margin)
+        & (delta <= margin - 1)
+        & (v >= 0)
+    )

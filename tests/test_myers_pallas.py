@@ -27,11 +27,11 @@ def test_myers_kernel_certified_exact():
                 del s[p]
         return "".join(s)
 
-    B, L = 1024, 192
+    B, L = 1024, 256
     pairs = []
     for i in range(B):
-        a = rs(rng.randrange(80, 185))
-        b = mut(a, rng.randrange(0, 40), L) if i % 4 else rs(rng.randrange(80, 185))
+        a = rs(rng.randrange(80, 250))
+        b = mut(a, rng.randrange(0, 40), L) if i % 4 else rs(rng.randrange(80, 250))
         pairs.append((a, b))
     q, qlen = pad_batch([a for a, _ in pairs], L)
     t, tlen = pad_batch([b for _, b in pairs], L)
