@@ -342,11 +342,17 @@ class PairEngine:
                 buckets.setdefault((Lb, bands[i]), []).append(i)
             launched = []
             for (Lb, Wp), idxs in sorted(buckets.items()):
-                for s in range(0, len(idxs), self.batch_pairs):
-                    chunk = idxs[s : s + self.batch_pairs]
+                # cap the batch so the on-device direction planes
+                # (B x 2L x Wp bytes) stay within ~2 GB of HBM
+                cap = int(2e9 // (2 * Lb * Wp))
+                bchunk = max(128, min(self.batch_pairs,
+                                      1 << max(7, cap.bit_length() - 1)))
+                for s in range(0, len(idxs), bchunk):
+                    chunk = idxs[s : s + bchunk]
                     launched.append(
                         (chunk, Wp, Lb,
-                         self._launch_align(pairs, scores, chunk, Lb, Wp))
+                         self._launch_align(pairs, scores, chunk, Lb, Wp,
+                                            bchunk))
                     )
             for chunk, Wp, Lb, handle in launched:
                 self._collect_align(pairs, chunk, Lb, Wp, handle, out,
@@ -354,9 +360,10 @@ class PairEngine:
             todo = next_round
         return out  # type: ignore[return-value]
 
-    def _launch_align(self, pairs, scores, chunk, Lb, Wp):
+    def _launch_align(self, pairs, scores, chunk, Lb, Wp, Bp=None):
         B = len(chunk)
-        Bp = self.batch_pairs
+        if Bp is None:
+            Bp = self.batch_pairs
         q = np.full((Bp, Lb), 5, dtype=np.int8)
         t = np.full((Bp, Lb), 6, dtype=np.int8)
         qlen = np.ones(Bp, dtype=np.int32)
