@@ -68,3 +68,19 @@ def test_ends_ignored_nn_graph():
     assert g["c2"]["c1"] == 2
     assert g["c1"]["c3"] == 0      # pure end difference -> distance 0
     assert "c4" not in g["c1"] and g["c4"] == {}
+
+
+def test_ends_ignored_graph_engine_matches_oracle():
+    """The batched HW prefilter must not change the resulting graph."""
+    rng = random.Random(9)
+    cands = {}
+    base = rand_seq(rng, 150)
+    cands["a"] = base
+    bl = list(base); bl[70] = {"A": "C", "C": "G", "G": "T", "T": "A"}[bl[70]]
+    cands["b"] = "".join(bl)
+    cands["c"] = base[4:-3]
+    cands["d"] = rand_seq(rng, 150)
+    eng = PairEngine(batch_pairs=16)
+    with_engine = ends_ignored_nn_graph(cands, 15, engine=eng)
+    without = ends_ignored_nn_graph(cands, 15, engine=None)
+    assert with_engine == without

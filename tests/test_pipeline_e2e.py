@@ -108,3 +108,15 @@ def test_stat_filter_subcommand(synthetic):
     assert iso_a in cands and iso_b in cands
     # the low-support chimera was dropped before testing
     assert len(cands) == 2
+
+
+def test_nontargeted_mode(synthetic):
+    """--nontargeted (sketch prefilter) reconstructs the same isoforms."""
+    read_file, d, iso_a, iso_b = synthetic
+    out = os.path.join(d, "out_nt")
+    cli_main([
+        "get_candidates", "-fl_reads", read_file, "-outfolder", out,
+        "--batch_pairs", "32", "--nontargeted",
+    ])
+    cands = {seq for _acc, seq in read_fasta(os.path.join(out, "candidates_converged.fa"))}
+    assert iso_a in cands and iso_b in cands
