@@ -78,6 +78,7 @@ def run_pipeline(params) -> None:
         ),
         params.logfile,
     )
+    logger(engine.stats_line(), params.logfile)
     t1 = time()
     stat_filter_candidates(
         params.read_file, candidate_file, read_partition, to_realign, params,
@@ -87,6 +88,7 @@ def run_pipeline(params) -> None:
         "TIME ELAPSED FOR STATISTICAL TEST OF CANDIDATES:{0}".format(time() - t1),
         params.logfile,
     )
+    logger(engine.stats_line(), params.logfile)
     if params.cleanup:
         clean_dir(params)
     logger("TOTAL TIME ELAPSED FOR IsoCon:{0}".format(time() - total_start),

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import math
 import os
+import time
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -22,6 +23,8 @@ from .encode import encode_seq
 from .wavefront import banded_ed, band_certifies
 
 _LEN_BUCKETS = [128, 256, 512, 1024, 1536, 2048, 3072, 4096, 6144, 8192]
+
+_DEBUG = bool(os.environ.get("ISOCON_ENGINE_DEBUG"))
 
 _CACHE_SET = False
 
@@ -40,6 +43,9 @@ def enable_compilation_cache() -> None:
         "ISOCON_XLA_CACHE", os.path.expanduser("~/.cache/isocon_tpu_xla")
     )
     try:
+        # per-backend subdir: a CPU process must not load AOT executables
+        # compiled for the accelerator host's CPU (machine-feature mismatch)
+        cache_dir = os.path.join(cache_dir, jax.default_backend())
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -86,6 +92,22 @@ class PairEngine:
             ed_batch // 128 if ed_batch % 128 == 0 else 0
         )
         self._enc_cache: dict = {}
+        # cumulative per-op wall-clock + volume counters (the rebuild's
+        # analog of the reference's per-phase logfile timers, SURVEY.md §5)
+        self.counters = {
+            "ed_calls": 0, "ed_pairs": 0, "ed_seconds": 0.0,
+            "align_calls": 0, "align_pairs": 0, "align_seconds": 0.0,
+        }
+
+    def stats_line(self) -> str:
+        c = self.counters
+        return (
+            "engine: %d EDs in %.1fs (%d calls), %d alignments in %.1fs "
+            "(%d calls)" % (
+                c["ed_pairs"], c["ed_seconds"], c["ed_calls"],
+                c["align_pairs"], c["align_seconds"], c["align_calls"],
+            )
+        )
 
     def _enc(self, s: str) -> np.ndarray:
         e = self._enc_cache.get(s)
@@ -116,6 +138,9 @@ class PairEngine:
         ej_out = np.zeros(n_pairs, dtype=np.int32)
         if n_pairs == 0:
             return ed_out, ej_out
+        t_start = time.perf_counter()
+        self.counters["ed_calls"] += 1
+        self.counters["ed_pairs"] += n_pairs
         caps = (
             np.asarray(k_cap, dtype=np.int64)
             if k_cap is not None
@@ -171,11 +196,23 @@ class PairEngine:
             for Lb, idxs in sorted(buckets.items()):
                 for s in range(0, len(idxs), self.ed_batch):
                     chunk = idxs[s : s + self.ed_batch]
-                    launched.append(
-                        (chunk, self._launch_batch(pairs, chunk, Lb, Wp, hw_mode))
-                    )
+                    tl0 = time.perf_counter() if _DEBUG else 0.0
+                    h = self._launch_batch(pairs, chunk, Lb, Wp, hw_mode)
+                    if _DEBUG:
+                        print("engine.ed launch kind=%s L=%d Wp=%d B=%d Bp=%d"
+                              " %.3fs" % (h[0][0], Lb, Wp, len(chunk),
+                                          h[4].shape[0],
+                                          time.perf_counter() - tl0),
+                              flush=True)
+                    launched.append((chunk, h))
             for chunk, handle in launched:
+                tc0 = time.perf_counter() if _DEBUG else 0.0
                 ed, ej, cert = self._collect_batch(handle, Wp, hw_mode)
+                if _DEBUG:
+                    print("engine.ed collect kind=%s B=%d ncert=%d %.3fs"
+                          % (handle[0][0], len(chunk),
+                             int(len(cert) - cert.sum()),
+                             time.perf_counter() - tc0), flush=True)
                 for pos, i in enumerate(chunk):
                     if cert[pos]:
                         d = int(ed[pos])
@@ -198,6 +235,7 @@ class PairEngine:
                 _len_bucket(max(len(pairs[i][0]), len(pairs[i][1]))) for i in range(n_pairs)
             ) + 256:
                 raise RuntimeError("band escalation failed to terminate")
+        self.counters["ed_seconds"] += time.perf_counter() - t_start
         return ed_out, ej_out
 
     @staticmethod
@@ -227,11 +265,14 @@ class PairEngine:
             t[pos, : len(eb)] = eb
             qlen[pos] = len(ea)
             tlen[pos] = len(eb)
+        # VMEM cap: text + peq blocks double-buffer across grid steps, so
+        # L*sub is bounded (L=2048 @ sub=16 ~ 14 MB is the known-good max)
+        sub_L = min(self.myers_sub, max(32768 // Lb, 1))
         # pad batch to a myers-block multiple (or the full ed_batch when
         # the wavefront path will run, for shape stability)
-        if (self.use_pallas and self.myers_sub >= 8 and not hw_mode
+        if (self.use_pallas and sub_L >= 4 and not hw_mode
                 and Wp == 128 and Lb >= 160):
-            blk = self.myers_sub * 128
+            blk = sub_L * 128
             nblk = -(-B // blk)
             nblk = 1 << (nblk - 1).bit_length()  # power-of-2 grid sizes only
             Bp = min(self.ed_batch, nblk * blk)
@@ -252,13 +293,13 @@ class PairEngine:
             ed, ej = self.sharder.banded_ed(q, t, qlen, tlen, Wp=Wp, L=Lb,
                                             hw_mode=hw_mode, small=small)
             return ("wave", small), B, ed, ej, qlen, tlen
-        if (self.use_pallas and self.myers_sub >= 8 and not hw_mode
+        if (self.use_pallas and sub_L >= 4 and not hw_mode
                 and Wp == 128 and Lb >= 256 and Lb % 32 == 0
-                and qlen.shape[0] % (self.myers_sub * 128) == 0):
+                and qlen.shape[0] % (sub_L * 128) == 0):
             # primary NW path: bit-parallel Myers kernel
             from .myers_pallas import myers_ed_pallas
 
-            ed = myers_ed_pallas(q, t, qlen, tlen, L=Lb, sub=self.myers_sub)
+            ed = myers_ed_pallas(q, t, qlen, tlen, L=Lb, sub=sub_L)
             ej = tlen
             return ("myers", False), B, ed, ej, qlen, tlen
         if (self.use_pallas and Wp == 128 and Lb % 64 == 0
@@ -308,6 +349,9 @@ class PairEngine:
         (``SW_alignment_module.py:78-86``).
         """
         n_pairs = len(pairs)
+        t_start = time.perf_counter()
+        self.counters["align_calls"] += 1
+        self.counters["align_pairs"] += n_pairs
         out: List[Optional[Tuple[str, str, Tuple[int, int, int]]]] = [None] * n_pairs
         todo = []
         bands = {}
@@ -358,6 +402,7 @@ class PairEngine:
                 self._collect_align(pairs, chunk, Lb, Wp, handle, out,
                                     next_round, bands)
             todo = next_round
+        self.counters["align_seconds"] += time.perf_counter() - t_start
         return out  # type: ignore[return-value]
 
     def _launch_align(self, pairs, scores, chunk, Lb, Wp, Bp=None):

@@ -54,14 +54,21 @@ ONES = np.uint32(0xFFFFFFFF)
 
 
 def _kernel(peq_ref, text_ref, nlen_ref, mlen_ref, nword_ref, nbit_ref,
-            out_ref, pv_ref, mv_ref, *, L: int, SUB: int):
+            out_ref, *, L: int, SUB: int):
     """peq_ref: [len(PLANES) * nwords * SUB, LANES] uint32
     text_ref: [L * SUB, LANES] int8 codes
     nlen/mlen: [SUB, LANES] int32 (n <= m)
     nword/nbit: [SUB, LANES] int32 -- word index (n-1)//32 and a uint32
       single-bit mask 1 << ((n-1)%32) for the row-n walk
     out_ref: [SUB, LANES] int32 final D[n][m]
-    scratch pv/mv: [nwords * SUB, LANES] uint32
+
+    The band state (WIN pv/mv word planes) lives entirely in the fori-loop
+    carry: the window advances monotonically, so a departing word is never
+    read again and fresh words enter as all-(+1) deltas -- no VMEM state
+    traffic at all.  Phases are a fori_loop (not python-unrolled), keeping
+    the compiled program O(WIN) instead of O(nphases*WIN); executable
+    load/compile over a thin host link scales with program size and is the
+    dominant fixed cost of small pipeline runs.
     """
     nwords = L // 32
     nphases = L // 32
@@ -71,64 +78,93 @@ def _kernel(peq_ref, text_ref, nlen_ref, mlen_ref, nword_ref, nbit_ref,
     nword = nword_ref[:]
     nbit = nbit_ref[:].astype(jnp.uint32)
 
-    for w in range(nwords):
-        pv_ref[w * SUB : (w + 1) * SUB, :] = jnp.full((SUB, LANES), ONES,
-                                                      jnp.uint32)
-        mv_ref[w * SUB : (w + 1) * SUB, :] = jnp.zeros((SUB, LANES),
-                                                       jnp.uint32)
-    # carry: (S_diag, base, walk) packed into out-like planes via refs?
-    # keep them in the fori carry instead.
+    ones = jnp.full((SUB, LANES), ONES, jnp.uint32)
+    zeros = jnp.zeros((SUB, LANES), jnp.uint32)
+    one = jnp.full((SUB, LANES), 1, jnp.uint32)
 
-    def make_char_step(W0, p):
-        wd = p - W0  # static window slot holding the diagonal word
+    def run_phase(p, carry):
+        """One 32-char phase; p is traced (the phase loop is a fori_loop so
+        the compiled program stays O(WIN) -- executable load/compile over a
+        thin host link scales with program size and dominates the fixed cost
+        of small runs).  W0/dslot/advance derive from p; the window rotation
+        and diagonal-word reads become cheap vselects."""
+        sdiag, base, walk, pvs, mvs = carry
+        W0 = jnp.clip(p - (WIN // 2), 0, nwords - WIN)
+        dslot = p - W0  # window slot holding the diagonal word
+        advance = (p >= (WIN // 2) + 1) & (p <= nwords - WIN + (WIN // 2))
+        pvs = tuple(
+            jnp.where(advance, pvs[k + 1] if k + 1 < WIN else ones, pvs[k])
+            for k in range(WIN)
+        )
+        mvs = tuple(
+            jnp.where(advance, mvs[k + 1] if k + 1 < WIN else zeros, mvs[k])
+            for k in range(WIN)
+        )
+        # per-phase constants, hoisted out of the 32-char inner loop: the
+        # window's Peq planes and the row-n word masks
+        peqs = [
+            [peq_ref[pl.ds((ci * nwords) * SUB + (W0 + k) * SUB, SUB), :]
+             for ci in range(len(PLANES))]
+            for k in range(WIN)
+        ]
+        is_nrow = [nword == W0 + k for k in range(WIN)]
 
         def char_step(s, carry):
-            sdiag, base, walk = carry
+            sdiag, base, walk, pvs, mvs = carry
             j = 32 * p + s + 1        # 1-indexed column
-            trow = text_ref[pl.ds(pl.multiple_of((32 * p + s) * SUB, SUB),
-                                  SUB), :].astype(jnp.int32)
-
-            # vertical delta at (row j, column j-1): bit s of window word wd
-            pv_d = pv_ref[(W0 + wd) * SUB : (W0 + wd + 1) * SUB, :]
-            mv_d = mv_ref[(W0 + wd) * SUB : (W0 + wd + 1) * SUB, :]
+            trow = text_ref[pl.ds((32 * p + s) * SUB, SUB), :].astype(
+                jnp.int32)
             su = s.astype(jnp.uint32)
-            vplus = (jnp.right_shift(pv_d, su) & jnp.uint32(1)).astype(jnp.int32)
-            vminus = (jnp.right_shift(mv_d, su) & jnp.uint32(1)).astype(jnp.int32)
+
+            # vertical delta at (row j, column j-1): bit s of the diagonal
+            # word (slot select)
+            pv_d = zeros
+            mv_d = zeros
+            for k in range(WIN):
+                pv_d = jnp.where(k == dslot, pvs[k], pv_d)
+                mv_d = jnp.where(k == dslot, mvs[k], mv_d)
+            vplus = (jnp.right_shift(pv_d, su) & jnp.uint32(1)).astype(
+                jnp.int32)
+            vminus = (jnp.right_shift(mv_d, su) & jnp.uint32(1)).astype(
+                jnp.int32)
             sdiag = sdiag + vplus - vminus
 
-            hp = jnp.ones((SUB, LANES), jnp.uint32)   # hin = +1 at window top
-            hm = jnp.zeros((SUB, LANES), jnp.uint32)
-            ph_words = []
-            mh_words = []
-            for w in range(W0, W0 + WIN):
-                sl = slice(w * SUB, (w + 1) * SUB)
-                pv = pv_ref[sl, :]
-                mv = mv_ref[sl, :]
-                eq = jnp.zeros((SUB, LANES), jnp.uint32)
-                for ci, code in enumerate(PLANES):
-                    plane = peq_ref[(ci * nwords + w) * SUB:
-                                    (ci * nwords + w + 1) * SUB, :]
-                    eq = jnp.where(trow == code, plane, eq)
+            hp = one  # hin = +1 at window top
+            hm = zeros
+            ph_diag = zeros
+            mh_diag = zeros
+            hsel_p = zeros
+            hsel_m = zeros
+            new_pvs = []
+            new_mvs = []
+            for k in range(WIN):
+                pv = pvs[k]
+                mv = mvs[k]
+                eq = zeros
+                for ci in range(len(PLANES)):
+                    eq = jnp.where(trow == PLANES[ci], peqs[k][ci], eq)
 
                 xv = eq | mv
                 eq = eq | hm
                 xh = (((eq & pv) + pv) ^ pv) | eq
                 ph = mv | ~(xh | pv)
                 mh = pv & xh
-                ph_words.append(ph)
-                mh_words.append(mh)
+                ph_diag = jnp.where(k == dslot, ph, ph_diag)
+                mh_diag = jnp.where(k == dslot, mh, mh_diag)
+                hsel_p = jnp.where(is_nrow[k], ph, hsel_p)
+                hsel_m = jnp.where(is_nrow[k], mh, hsel_m)
                 hout_p = jnp.right_shift(ph, jnp.uint32(31))
                 hout_m = jnp.right_shift(mh, jnp.uint32(31))
                 ph = jnp.left_shift(ph, jnp.uint32(1)) | hp
                 mh = jnp.left_shift(mh, jnp.uint32(1)) | hm
-                pv_ref[sl, :] = mh | ~(xv | ph)
-                mv_ref[sl, :] = ph & xv
+                new_pvs.append(mh | ~(xv | ph))
+                new_mvs.append(ph & xv)
                 hp, hm = hout_p, hout_m
 
-            # horizontal delta at (row j, column j): bit s of fresh word wd
-            hplus = (jnp.right_shift(ph_words[wd], su) & jnp.uint32(1)).astype(
+            # horizontal delta at (row j, column j): bit s of fresh diag word
+            hplus = (jnp.right_shift(ph_diag, su) & jnp.uint32(1)).astype(
                 jnp.int32)
-            hminus = (jnp.right_shift(mh_words[wd], su) & jnp.uint32(1)).astype(
+            hminus = (jnp.right_shift(mh_diag, su) & jnp.uint32(1)).astype(
                 jnp.int32)
             sdiag = sdiag + hplus - hminus
 
@@ -136,29 +172,22 @@ def _kernel(peq_ref, text_ref, nlen_ref, mlen_ref, nword_ref, nbit_ref,
             base = jnp.where(j == nlen, sdiag, base)
 
             # row-n walk: horizontal delta at per-pair row n for n < j <= m
-            hsel_p = jnp.zeros((SUB, LANES), jnp.uint32)
-            hsel_m = jnp.zeros((SUB, LANES), jnp.uint32)
-            for idx, w in enumerate(range(W0, W0 + WIN)):
-                cond = nword == w
-                hsel_p = jnp.where(cond, ph_words[idx], hsel_p)
-                hsel_m = jnp.where(cond, mh_words[idx], hsel_m)
             hbp = ((hsel_p & nbit) != 0).astype(jnp.int32)
             hbm = ((hsel_m & nbit) != 0).astype(jnp.int32)
             in_walk = (j > nlen) & (j <= mlen)
             walk = walk + jnp.where(in_walk, hbp - hbm, 0)
 
-            return (sdiag, base, walk)
+            return (sdiag, base, walk, tuple(new_pvs), tuple(new_mvs))
 
-        return char_step
+        return jax.lax.fori_loop(0, 32, char_step,
+                                 (sdiag, base, walk, pvs, mvs))
 
     sdiag = jnp.zeros((SUB, LANES), jnp.int32)
     base = jnp.zeros((SUB, LANES), jnp.int32)
     walk = jnp.zeros((SUB, LANES), jnp.int32)
-    carry = (sdiag, base, walk)
-    for p in range(nphases):
-        W0 = min(max(p - (WIN // 2), 0), nwords - WIN)
-        carry = jax.lax.fori_loop(0, 32, make_char_step(W0, p), carry)
-    sdiag, base, walk = carry
+    carry = (sdiag, base, walk, (ones,) * WIN, (zeros,) * WIN)
+    carry = jax.lax.fori_loop(0, nphases, run_phase, carry)
+    sdiag, base, walk = carry[:3]
     out_ref[:] = base + walk
 
 
@@ -229,10 +258,6 @@ def myers_ed_pallas(qcodes, tcodes, qlen, tlen, *, L: int,
         in_specs=[vec(PEQR), vec(L * SUBX), vec(SUBX), vec(SUBX), vec(SUBX),
                   vec(SUBX)],
         out_specs=vec(SUBX),
-        scratch_shapes=[
-            pltpu.VMEM((nwords * SUBX, LANES), jnp.uint32),
-            pltpu.VMEM((nwords * SUBX, LANES), jnp.uint32),
-        ],
         interpret=interpret,
     )(peq_packed, text_packed, nlen_packed, mlen_packed, nword_packed,
       nbit_packed)
