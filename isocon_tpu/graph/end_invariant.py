@@ -182,10 +182,12 @@ def ends_ignored_nn_graph(
     else:
         survivors = wanted
 
+    from ..native import hw_banded_traceback
+
     for (i, j) in survivors:
         q_seq, q_acc = ordered[i]
         t_seq, t_acc = ordered[j]
-        res = oracle.edit_distance_hw_banded(q_seq, t_seq)
+        res = hw_banded_traceback(q_seq, t_seq)
         if res is None:
             res = oracle.edit_distance_hw(q_seq, t_seq)
         ed, start_j, end_j, ops = res

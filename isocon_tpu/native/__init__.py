@@ -1,1 +1,7 @@
-from .loader import get_lib, myers_ed, myers_ed_batch, native_available
+from .loader import (
+    get_lib,
+    hw_banded_traceback,
+    myers_ed,
+    myers_ed_batch,
+    native_available,
+)

@@ -58,6 +58,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
                     ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
                     ctypes.c_int64, ctypes.c_void_p,
                 ]
+                if hasattr(lib, "hw_banded_traceback"):
+                    lib.hw_banded_traceback.restype = ctypes.c_int64
+                    lib.hw_banded_traceback.argtypes = [
+                        ctypes.c_void_p, ctypes.c_int64,
+                        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                        ctypes.c_void_p, ctypes.c_void_p,
+                        ctypes.c_char_p, ctypes.c_int64,
+                    ]
                 _LIB = lib
         return _LIB
 
@@ -104,3 +112,33 @@ def myers_ed_batch(qs: np.ndarray, qlens: np.ndarray, ts: np.ndarray,
         L, B, k, out.ctypes.data,
     )
     return out
+
+def hw_banded_traceback(q: str, t: str, band: int = 128):
+    """Banded infix (HW) unit-cost alignment with traceback; same contract
+    as ``oracle.edit_distance_hw_banded``: (ed, start_j, end_j_incl, ops)
+    or None when the band cannot certify the result.  Falls back to the
+    numpy oracle when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "hw_banded_traceback") or (
+        len(q) == 0 or len(t) == 0
+    ):
+        from ..ops import oracle
+
+        return oracle.edit_distance_hw_banded(q, t, band=band)
+    qa = q.encode("latin1")
+    ta = t.encode("latin1")
+    start_j = ctypes.c_int64()
+    end_j = ctypes.c_int64()
+    cap = 2 * (len(q) + len(t)) + 16
+    buf = ctypes.create_string_buffer(cap)
+    ed = lib.hw_banded_traceback(
+        qa, len(qa), ta, len(ta), band,
+        ctypes.byref(start_j), ctypes.byref(end_j), buf, cap,
+    )
+    if ed == -1:
+        return None
+    if ed == -2:  # ops buffer too small; should not happen with 2(n+m)
+        from ..ops import oracle
+
+        return oracle.edit_distance_hw_banded(q, t, band=band)
+    return int(ed), int(start_j.value), int(end_j.value), buf.value.decode("latin1")

@@ -287,7 +287,9 @@ def ops_to_alignment(opcodes, q: str, t: str, end_i: int, end_j: int,
     i, j = end_i, end_j
     for op in opcodes:
         if op == OP_NONE:
-            break
+            # the scan walk packs opcodes contiguously; the pallas walk is
+            # diagonal-aligned and leaves a gap after each diagonal move
+            continue
         if op == OP_DIAG:
             a1.append(q[i - 1])
             a2.append(t[j - 1])

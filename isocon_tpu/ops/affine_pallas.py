@@ -1,0 +1,384 @@
+"""Pallas TPU kernels for banded affine semi-global alignment + traceback.
+
+Same recurrence, tie-breaks and direction-bit packing as ``affine.py``
+(the lax.scan reference implementation, itself pinned to the numpy oracle
+``oracle.align_semi_global``), re-placed for the TPU memory hierarchy:
+
+* Geometry follows ``wavefront_pallas.py``: pairs on sublanes (BB = 128 per
+  grid block), the band on lanes (Wp, a multiple of 128), two sliding
+  character windows rolled one lane per anti-diagonal and refilled with
+  128-aligned loads every 128 steps.
+* The H/E/F state planes live in VMEM scratch for the whole sweep -- the
+  lax.scan version round-trips every carry through HBM each of the 2L-1
+  steps, which is its dominant cost.
+* Direction bits (4 per cell: H-source 2b, E-opened, F-opened) stream to
+  HBM in diagonal chunks of CH via the output pipeline; the grid is
+  (pair_blocks, diag_chunks) with state persisting across the chunk axis.
+* The backward walk is a second kernel running the *same* grid in reverse:
+  at diagonal d every pair whose walker sits on d consumes one direction
+  entry and emits one opcode, so dirs stream sequentially (no gathers).
+  Opcode index = (S + 1) - d (S = padded step count), giving each chunk a
+  contiguous, aligned opcode slice.  Unlike the scan walk, the opcode
+  stream may contain OP_NONE gaps at diagonals where a pair's walker
+  skipped (after a diagonal move); ``ops_to_alignment`` skips them.
+
+Oracle equality: tests/test_affine_pallas.py checks scores, endpoints and
+decoded alignments against ``affine.sg_align_with_ops`` (itself tested
+against the numpy oracle).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .affine import H_DIAG, H_FROME, H_FROMF, H_START, NEG, QPAD, TPAD
+from .affine import OP_DIAG, OP_GAPQ, OP_GAPT, OP_NONE
+
+BB = 128     # pairs per grid block (sublanes)
+SCAL = 128   # lane width for per-pair scalar planes
+
+NEGI = np.int32(NEG)   # same floor value as the int16 scan kernel
+
+
+def _chunk_len(Wp: int, L: int) -> int:
+    # VMEM budget: dirs block (BB*CH*Wp bytes, double-buffered) + q/t char
+    # planes (BB*(4L+pad), double-buffered) + 4 state planes + 2 windows
+    return 64 if (Wp <= 256 and L <= 2048) else 32
+
+
+def _fwd_kernel(qp_ref, tp_ref, qlen_ref, tlen_ref, ma_ref, mi_ref, go_ref,
+                ge_ref, dirs_ref, best_ref, ei_ref, ej_ref,
+                h1_ref, h0_ref, e1_ref, f1_ref, wq_ref, wt_ref, bst_ref,
+                *, L: int, Wp: int, CH: int, P0q: int, P0t: int):
+    c = pl.program_id(1)
+    o_lo = -(Wp // 2 - 1)
+    o_vec = jnp.broadcast_to(
+        o_lo + jax.lax.broadcasted_iota(jnp.int32, (1, Wp), 1), (BB, Wp)
+    )
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (BB, Wp), 1)
+
+    qlen = qlen_ref[:, 0:1]
+    tlen = tlen_ref[:, 0:1]
+    ma = ma_ref[:, 0:1]
+    mi = mi_ref[:, 0:1]
+    go = go_ref[:, 0:1]
+    ge = ge_ref[:, 0:1]
+
+    T0 = P0t + o_lo
+    Q0 = P0q + 2 * L - 1 + o_lo
+
+    @pl.when(c == 0)
+    def _init():
+        wt_ref[:] = tp_ref[:, pl.ds(T0, Wp + 128)].astype(jnp.int32)
+        wq_ref[:] = qp_ref[:, pl.ds(Q0 - 128, Wp + 128)].astype(jnp.int32)
+        # H at d=1 (boundary cells only) and d=0 (origin)
+        h1_ref[:] = jnp.where(
+            (o_vec == 1) | (o_vec == -1), 0, NEGI
+        ).astype(jnp.int32)
+        h0_ref[:] = jnp.where(o_vec == 0, 0, NEGI).astype(jnp.int32)
+        e1_ref[:] = jnp.full((BB, Wp), NEGI, jnp.int32)
+        f1_ref[:] = jnp.full((BB, Wp), NEGI, jnp.int32)
+        # trivial endpoints (n, 0) (preferred over (0, m) by larger i)
+        bst_ref[:, 0:1] = jnp.zeros((BB, 1), jnp.int32)
+        bst_ref[:, 1:2] = qlen
+        bst_ref[:, 2:3] = jnp.zeros((BB, 1), jnp.int32)
+
+    def step(s, _):
+        ss = c * CH + s          # absolute step; diagonal d = ss + 2
+        d = ss + 2
+        H1 = h1_ref[:]
+        H0 = h0_ref[:]
+        qg = wq_ref[:, pl.ds(128, Wp)]
+        tg = wt_ref[:, pl.ds(0, Wp)]
+        sub = jnp.where(qg == tg, ma, mi)
+
+        # E: parents at (i, j-1) = diag d-1, offset o-1
+        h_left = pltpu.roll(H1, shift=1, axis=1)
+        h_left = jnp.where(lane_iota == 0, NEGI, h_left)
+        e_left = pltpu.roll(e1_ref[:], shift=1, axis=1)
+        e_left = jnp.where(lane_iota == 0, NEGI, e_left)
+        e_open = h_left - go
+        e_ext = e_left - ge
+        E = jnp.maximum(e_open, e_ext)
+        e_opened = (e_open >= e_ext).astype(jnp.int32)
+
+        # F: parents at (i-1, j) = diag d-1, offset o+1
+        h_up = pltpu.roll(H1, shift=Wp - 1, axis=1)
+        h_up = jnp.where(lane_iota == Wp - 1, NEGI, h_up)
+        f_up = pltpu.roll(f1_ref[:], shift=Wp - 1, axis=1)
+        f_up = jnp.where(lane_iota == Wp - 1, NEGI, f_up)
+        f_open = h_up - go
+        f_ext = f_up - ge
+        F = jnp.maximum(f_open, f_ext)
+        f_opened = (f_open >= f_ext).astype(jnp.int32)
+
+        diag = H0 + sub
+        H = jnp.maximum(jnp.maximum(diag, E), F)
+        hdir = jnp.where(
+            H == diag, H_DIAG, jnp.where(H == E, H_FROME, H_FROMF)
+        ).astype(jnp.int32)
+
+        on_boundary = (o_vec == d) | (o_vec == -d)
+        H = jnp.where(on_boundary, 0, H)
+        hdir = jnp.where(on_boundary, H_START, hdir)
+        out_grid = (o_vec > d) | (o_vec < -d)
+        H = jnp.where(out_grid, NEGI, H)
+        E = jnp.where(out_grid | on_boundary, NEGI, E)
+        F = jnp.where(out_grid | on_boundary, NEGI, F)
+        H = jnp.maximum(H, NEGI)
+        E = jnp.maximum(E, NEGI)
+        F = jnp.maximum(F, NEGI)
+
+        dirs = (hdir | (e_opened << 2) | (f_opened << 3)).astype(jnp.uint8)
+        dirs_ref[:, pl.ds(s * Wp, Wp)] = dirs
+
+        # endpoint scan (same tie rule as the scan kernel: max score, then
+        # larger i, then larger j)
+        best = bst_ref[:, 0:1]
+        ei = bst_ref[:, 1:2]
+        ej = bst_ref[:, 2:3]
+
+        def consider(best, ei, ej, lane, i_new, j_new, ok):
+            sel = lane_iota == lane
+            v = jnp.sum(jnp.where(sel, H, 0), axis=1, keepdims=True)
+            v = jnp.where(ok, v, NEGI - 1)
+            upd = (v > best) | (
+                (v == best) & ((i_new > ei) | ((i_new == ei) & (j_new > ej)))
+            )
+            return (
+                jnp.where(upd, v, best),
+                jnp.where(upd, i_new, ei),
+                jnp.where(upd, j_new, ej),
+            )
+
+        lane_col = 2 * tlen - d - o_lo
+        okc = ((lane_col >= 0) & (lane_col < Wp) & (d >= tlen)
+               & (d <= qlen + tlen))
+        best, ei, ej = consider(best, ei, ej, lane_col, d - tlen, tlen, okc)
+        lane_row = d - 2 * qlen - o_lo
+        okr = ((lane_row >= 0) & (lane_row < Wp) & (d >= qlen)
+               & (d <= qlen + tlen))
+        best, ei, ej = consider(best, ei, ej, lane_row, qlen, d - qlen, okr)
+        bst_ref[:, 0:1] = best
+        bst_ref[:, 1:2] = ei
+        bst_ref[:, 2:3] = ej
+
+        h0_ref[:] = H1
+        h1_ref[:] = H
+        e1_ref[:] = E
+        f1_ref[:] = F
+
+        wt_ref[:] = pltpu.roll(wt_ref[:], shift=Wp + 128 - 1, axis=1)
+        wq_ref[:] = pltpu.roll(wq_ref[:], shift=1, axis=1)
+
+        @pl.when(jax.lax.rem(ss + 1, 128) == 0)
+        def _refill():
+            sp = ss + 1
+            t_idx = pl.multiple_of(T0 + sp + Wp, 128)
+            wt_ref[:, pl.ds(Wp, 128)] = tp_ref[:, pl.ds(t_idx, 128)].astype(
+                jnp.int32)
+            q_idx = pl.multiple_of(Q0 - 128 - sp, 128)
+            wq_ref[:, pl.ds(0, 128)] = qp_ref[:, pl.ds(q_idx, 128)].astype(
+                jnp.int32)
+
+        return 0
+
+    jax.lax.fori_loop(0, CH, step, 0)
+    best_ref[:] = jnp.broadcast_to(bst_ref[:, 0:1], (BB, SCAL))
+    ei_ref[:] = jnp.broadcast_to(bst_ref[:, 1:2], (BB, SCAL))
+    ej_ref[:] = jnp.broadcast_to(bst_ref[:, 2:3], (BB, SCAL))
+
+
+def _walk_kernel(dirs_ref, ei_ref, ej_ref, ops_ref, st_ref,
+                 *, Wp: int, CH: int, S: int):
+    c = pl.program_id(1)
+    o_lo = -(Wp // 2 - 1)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (BB, Wp), 1)
+    # one ops block covers 128 opcode columns = 128 // CH chunks; this
+    # chunk's slice starts at lane (c * CH) % 128
+    lane_ops = jax.lax.broadcasted_iota(jnp.int32, (BB, 128), 1)
+    ops_base = (c * CH) % 128
+
+    @pl.when(c == 0)
+    def _init():
+        st_ref[:, 0:1] = ei_ref[:, 0:1]       # i
+        st_ref[:, 1:2] = ej_ref[:, 0:1]       # j
+        st_ref[:, 2:3] = jnp.zeros((BB, 1), jnp.int32)  # gap state
+        st_ref[:, 3:4] = jnp.zeros((BB, 1), jnp.int32)  # overflow flag
+
+    def step(s, _):
+        # diagonal processed this step: d = (S + 1) - (c*CH + s)
+        d = (S + 1) - (c * CH + s)
+        i = st_ref[:, 0:1]
+        j = st_ref[:, 1:2]
+        st = st_ref[:, 2:3]
+        ov = st_ref[:, 3:4]
+
+        active = (i + j == d) & (i > 0) & (j > 0) & (st != 3)
+        cl = (j - i) - o_lo
+        on_edge = (cl <= 0) | (cl >= Wp - 1)
+        ov = jnp.where(active & on_edge, 1, ov)
+
+        # dirs plane for diagonal d lives at local slot (d-2) % CH = CH-1-s
+        plane = dirs_ref[:, pl.ds((CH - 1 - s) * Wp, Wp)].astype(jnp.int32)
+        sel = lane_iota == jnp.clip(cl, 0, Wp - 1)
+        bits = jnp.sum(jnp.where(sel, plane, 0), axis=1, keepdims=True)
+        hd = bits & 3
+        e_opened = (bits & 4) != 0
+        f_opened = (bits & 8) != 0
+
+        in_h = st == 0
+        hit_start = active & in_h & (hd == H_START)
+        act_diag = active & in_h & (hd == H_DIAG)
+        act_e = active & ((in_h & (hd == H_FROME)) | (st == 1))
+        act_f = active & ((in_h & (hd == H_FROMF)) | (st == 2))
+
+        op = jnp.where(
+            act_diag, OP_DIAG,
+            jnp.where(act_e, OP_GAPQ, jnp.where(act_f, OP_GAPT, OP_NONE)),
+        ).astype(jnp.uint8)
+        ni = jnp.where(act_diag | act_f, i - 1, i)
+        nj = jnp.where(act_diag | act_e, j - 1, j)
+        nst = jnp.where(
+            act_diag, 0,
+            jnp.where(act_e, jnp.where(e_opened, 0, 1),
+                      jnp.where(act_f, jnp.where(f_opened, 0, 2), st)),
+        )
+        nst = jnp.where(hit_start, 3, nst)
+
+        # single-lane dynamic stores must be 128-aligned; write the op via a
+        # full-block one-hot select instead (every lane is written exactly
+        # once across the block's 128 steps)
+        ops_ref[:] = jnp.where(lane_ops == ops_base + s, op, ops_ref[:])
+        st_ref[:, 0:1] = ni
+        st_ref[:, 1:2] = nj
+        st_ref[:, 2:3] = nst
+        st_ref[:, 3:4] = ov
+        return 0
+
+    jax.lax.fori_loop(0, CH, step, 0)
+
+
+def _paddings(L: int, Wp: int):
+    o_lo = -(Wp // 2 - 1)
+    # T0 = P0t + o_lo and Q0 - 128 = P0q + 2L - 1 + o_lo - 128 must be
+    # 128-aligned (L is a multiple of 64 so 2L = 0 mod 128)
+    P0t = 128 - o_lo            # T0 = 128
+    P0q = 129 - o_lo            # Q0 - 128 = 2L  (aligned)
+    return P0q, P0t
+
+
+@functools.partial(jax.jit, static_argnames=("Wp", "L", "interpret"))
+def sg_align_with_ops_pallas(qcodes, tcodes, qlen, tlen, match, mismatch,
+                             gopen, gext, *, Wp: int, L: int,
+                             interpret: bool = False):
+    """Drop-in Pallas version of ``affine.sg_align_with_ops``.
+
+    Returns (best, ei, ej, ops, fi, fj, overflow); ops is [B, S+?] uint8 in
+    backward order with possible OP_NONE gaps (see module docstring).
+    """
+    assert Wp % 128 == 0 and Wp >= 256
+    assert L % 64 == 0
+    B = qcodes.shape[0]
+    assert B % BB == 0
+    CH = _chunk_len(Wp, L)
+    steps = 2 * L - 1
+    nchunks = -(-steps // CH)
+    per_ops_block = 128 // CH   # chunks sharing one 128-wide ops block
+    nchunks = -(-nchunks // per_ops_block) * per_ops_block
+    S = nchunks * CH
+    P0q, P0t = _paddings(L, Wp)
+
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    q = jnp.where(pos < qlen[:, None], qcodes.astype(jnp.int8), QPAD)
+    t = jnp.where(pos < tlen[:, None], tcodes.astype(jnp.int8), TPAD)
+    qe = jnp.repeat(q, 2, axis=1)[:, ::-1]
+    te = jnp.repeat(t, 2, axis=1)
+
+    def pad_to(x, left, cval):
+        total = left + x.shape[1]
+        right = (-total) % 128 + S - 2 * L + Wp + 384  # slack for refills
+        return jnp.pad(x, ((0, 0), (left, right)), constant_values=cval)
+
+    QP = pad_to(qe, P0q, QPAD)
+    TP = pad_to(te, P0t, TPAD)
+
+    def scal(v, dtype=jnp.int32):
+        return jnp.tile(v.astype(dtype)[:, None], (1, SCAL))
+
+    qlen2 = scal(qlen)
+    tlen2 = scal(tlen)
+    ma2 = scal(match)
+    mi2 = scal(mismatch)
+    go2 = scal(gopen)
+    ge2 = scal(gext)
+
+    grid = (B // BB, nchunks)
+    Wq = QP.shape[1]
+    Wt = TP.shape[1]
+    pair_block = lambda w: pl.BlockSpec((BB, w), lambda i, c: (i, 0),
+                                        memory_space=pltpu.VMEM)
+    dirs, best, ei, ej = pl.pallas_call(
+        functools.partial(_fwd_kernel, L=L, Wp=Wp, CH=CH, P0q=P0q, P0t=P0t),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, S * Wp), jnp.uint8),
+            jax.ShapeDtypeStruct((B, SCAL), jnp.int32),
+            jax.ShapeDtypeStruct((B, SCAL), jnp.int32),
+            jax.ShapeDtypeStruct((B, SCAL), jnp.int32),
+        ),
+        grid=grid,
+        in_specs=[
+            pair_block(Wq),
+            pair_block(Wt),
+            pair_block(SCAL), pair_block(SCAL), pair_block(SCAL),
+            pair_block(SCAL), pair_block(SCAL), pair_block(SCAL),
+        ],
+        out_specs=(
+            pl.BlockSpec((BB, CH * Wp), lambda i, c: (i, c),
+                         memory_space=pltpu.VMEM),
+            pair_block(SCAL), pair_block(SCAL), pair_block(SCAL),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((BB, Wp), jnp.int32),        # h1
+            pltpu.VMEM((BB, Wp), jnp.int32),        # h0
+            pltpu.VMEM((BB, Wp), jnp.int32),        # e1
+            pltpu.VMEM((BB, Wp), jnp.int32),        # f1
+            pltpu.VMEM((BB, Wp + 128), jnp.int32),  # wq
+            pltpu.VMEM((BB, Wp + 128), jnp.int32),  # wt
+            pltpu.VMEM((BB, SCAL), jnp.int32),      # best/ei/ej accumulator
+        ],
+        interpret=interpret,
+    )(QP, TP, qlen2, tlen2, ma2, mi2, go2, ge2)
+
+    ops, stf = pl.pallas_call(
+        functools.partial(_walk_kernel, Wp=Wp, CH=CH, S=S),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, S), jnp.uint8),
+            jax.ShapeDtypeStruct((B, SCAL), jnp.int32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((BB, CH * Wp), lambda i, c: (i, nchunks - 1 - c),
+                         memory_space=pltpu.VMEM),
+            pair_block(SCAL),
+            pair_block(SCAL),
+        ],
+        out_specs=(
+            pl.BlockSpec((BB, 128), lambda i, c: (i, (c * CH) // 128),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, SCAL), lambda i, c: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(dirs, ei, ej)
+    # the walk state (i, j, gap-state, overflow) is carried in the second
+    # output block itself so it survives across grid steps
+    fi = stf[:, 0]
+    fj = stf[:, 1]
+    overflow = stf[:, 3] != 0
+    return best[:, 0], ei[:, 0], ej[:, 0], ops, fi, fj, overflow

@@ -60,6 +60,111 @@ def _len_bucket(n: int) -> int:
     return int(2 ** math.ceil(math.log2(max(n, 1))))
 
 
+_UPD_JITS: dict = {}
+
+
+def _pool_delta_update(flat, delta, off):
+    """Donating dynamic_update_slice: splice newly interned rows into the
+    device-resident pool without re-uploading the whole buffer."""
+    import jax
+
+    key = (int(flat.shape[0]), int(delta.shape[0]))
+    fn = _UPD_JITS.get(key)
+    if fn is None:
+        fn = _UPD_JITS[key] = jax.jit(
+            lambda f, d, o: jax.lax.dynamic_update_slice(f, d, (o,)),
+            donate_argnums=(0,),
+        )
+    return fn(flat, delta, off)
+
+
+class _SeqPool:
+    """Device-resident interned sequence pool for one padded length.
+
+    Each unique sequence is encoded once into a growing [cap, L] int8
+    matrix; batches then ship only int32 row indices to the device and the
+    kernels gather rows there.  This removes the dominant host cost of the
+    NN search at scale: per-pair padded-array assembly in Python and
+    re-transfer of the same ~2 kb reads in every window pair.
+    """
+
+    def __init__(self, L: int):
+        self.L = L
+        self.rows: dict = {}
+        cap = 4096
+        self.mat = np.full((cap, L), 6, dtype=np.int8)
+        self.lens = np.ones(cap, dtype=np.int32)
+        self.n = 0
+        self.version = 0
+        self._dev = None  # (version, padded_rows, dev_mat, dev_lens)
+        self._dev_rows = 0  # rows already valid in the device buffer
+
+    def intern(self, seq: str, enc) -> int:
+        r = self.rows.get(seq)
+        if r is not None:
+            return r
+        if self.n == self.mat.shape[0]:
+            new_cap = 4 * self.mat.shape[0]
+            mat = np.full((new_cap, self.L), 6, dtype=np.int8)
+            mat[: self.n] = self.mat[: self.n]
+            lens = np.ones(new_cap, dtype=np.int32)
+            lens[: self.n] = self.lens[: self.n]
+            self.mat, self.lens = mat, lens
+        e = enc(seq)
+        self.mat[self.n, : len(e)] = e
+        self.lens[self.n] = len(e)
+        self.rows[seq] = self.n
+        self.n += 1
+        self.version += 1
+        return self.rows[seq]
+
+    def device_arrays(self):
+        import jax
+
+        # coarse padding steps (x4 from 4096): every distinct R is a new
+        # compiled shape for every (L, batch) combination, and compiles over
+        # the host link cost seconds each
+        R = 4096
+        while R < self.n:
+            R *= 4
+        if self._dev is None or self._dev[0] != self.version or (
+            self._dev[1] != R
+        ):
+            # The pool ships FLAT: device_put of some 2-D int8 tile
+            # geometries hits a pathological relayout path in the PJRT
+            # plugin (63 s for an 8 MB [4096, 2048] int8 array), and 2-D
+            # committed-array layouts fragment the persistent compile cache.
+            # Incremental rounds push only the NEW rows (the host link's
+            # bandwidth is thin and wildly variable); the delta is padded to
+            # a power-of-two row count to bound the compiled-shape set.
+            if (self._dev is not None and self._dev[1] == R
+                    and self._dev_rows > 0):
+                old = self._dev_rows
+                nrows = 1
+                while nrows < self.n - old:
+                    nrows *= 2
+                if old + nrows <= R:
+                    delta = np.full((nrows, self.L), 6, dtype=np.int8)
+                    delta[: self.n - old] = self.mat[old : self.n]
+                    flat = _pool_delta_update(
+                        self._dev[2], delta.reshape(-1),
+                        np.int32(old * self.L),
+                    )
+                else:
+                    flat = jax.device_put(
+                        np.ascontiguousarray(self.mat[:R]).reshape(-1)
+                    )
+            else:
+                flat = jax.device_put(
+                    np.ascontiguousarray(self.mat[:R]).reshape(-1)
+                )
+            self._dev = (
+                self.version, R, flat, jax.device_put(self.lens[:R]),
+            )
+            self._dev_rows = self.n
+        return self._dev[2], self._dev[3]
+
+
 class PairEngine:
     """Batched exact edit distances over explicit pair lists."""
 
@@ -92,6 +197,7 @@ class PairEngine:
             ed_batch // 128 if ed_batch % 128 == 0 else 0
         )
         self._enc_cache: dict = {}
+        self._pools: dict = {}  # L bucket -> _SeqPool (device-resident)
         # cumulative per-op wall-clock + volume counters (the rebuild's
         # analog of the reference's per-phase logfile timers, SURVEY.md §5)
         self.counters = {
@@ -194,11 +300,24 @@ class PairEngine:
             # and host<->device round trips pipeline instead of serializing
             launched = []
             for Lb, idxs in sorted(buckets.items()):
+                if myers_ok:
+                    # intern the whole bucket up front so every chunk shares
+                    # one pool version (one device push per round, not one
+                    # per chunk)
+                    pool = self._pools.get(Lb)
+                    if pool is None:
+                        pool = self._pools[Lb] = _SeqPool(Lb)
+                    for i in idxs:
+                        a, b = pairs[i]
+                        pool.intern(a, self._enc)
+                        pool.intern(b, self._enc)
                 for s in range(0, len(idxs), self.ed_batch):
                     chunk = idxs[s : s + self.ed_batch]
                     tl0 = time.perf_counter() if _DEBUG else 0.0
                     h = self._launch_batch(pairs, chunk, Lb, Wp, hw_mode)
                     if _DEBUG:
+                        if os.environ.get("ISOCON_ENGINE_SYNC"):
+                            np.asarray(h[2])  # force completion for timing
                         print("engine.ed launch kind=%s L=%d Wp=%d B=%d Bp=%d"
                               " %.3fs" % (h[0][0], Lb, Wp, len(chunk),
                                           h[4].shape[0],
@@ -254,6 +373,50 @@ class PairEngine:
 
     def _launch_batch(self, pairs, chunk, Lb, Wp, hw_mode):
         B = len(chunk)
+        # VMEM cap: text + peq blocks double-buffer across grid steps, so
+        # L*sub is bounded (L=2048 @ sub=16 ~ 14 MB is the known-good max)
+        sub_L = min(self.myers_sub, max(32768 // Lb, 1))
+        myers_path = (self.use_pallas and self.sharder is None
+                      and sub_L >= 4 and not hw_mode and Wp == 128
+                      and Lb >= 256 and Lb % 32 == 0)
+        if myers_path:
+            # device-resident pool path: only int32 row indices per pair
+            # cross the host link; the kernel gathers rows on device
+            pool = self._pools.get(Lb)
+            if pool is None:
+                pool = self._pools[Lb] = _SeqPool(Lb)
+            ia = np.zeros(B, dtype=np.int32)
+            ib = np.zeros(B, dtype=np.int32)
+            qlen = np.zeros(B, dtype=np.int32)
+            tlen = np.zeros(B, dtype=np.int32)
+            for pos, i in enumerate(chunk):
+                a, b = pairs[i]
+                ra = pool.intern(a, self._enc)
+                rb = pool.intern(b, self._enc)
+                ia[pos], ib[pos] = ra, rb
+                qlen[pos], tlen[pos] = len(a), len(b)
+            blk = sub_L * 128
+            # batch padding restricted to {1, 8, max} blocks: each distinct
+            # (R, Bp, L) is a separate compile, and padded kernel work is
+            # nearly free next to a multi-second compile
+            nblk = -(-B // blk)
+            max_blk = max(1, self.ed_batch // blk)
+            if nblk > 1:
+                nblk = 8 if nblk <= 8 else max_blk
+            nblk = min(nblk, max_blk)
+            Bp = nblk * blk
+            if B < Bp:
+                # pad with (row 0, row 0) pairs: ed 0, trivially certified
+                ia = np.pad(ia, (0, Bp - B))
+                ib = np.pad(ib, (0, Bp - B))
+                qlen = np.pad(qlen, (0, Bp - B), constant_values=1)
+                tlen = np.pad(tlen, (0, Bp - B), constant_values=1)
+            from .myers_pallas import myers_ed_pool
+
+            dev_mat, dev_lens = pool.device_arrays()
+            ed = myers_ed_pool(dev_mat, dev_lens, ia, ib, L=Lb, sub=sub_L)
+            return ("myers", False), B, ed, tlen, qlen, tlen
+
         q = np.full((B, Lb), 5, dtype=np.int8)
         t = np.full((B, Lb), 6, dtype=np.int8)
         qlen = np.zeros(B, dtype=np.int32)
@@ -265,24 +428,12 @@ class PairEngine:
             t[pos, : len(eb)] = eb
             qlen[pos] = len(ea)
             tlen[pos] = len(eb)
-        # VMEM cap: text + peq blocks double-buffer across grid steps, so
-        # L*sub is bounded (L=2048 @ sub=16 ~ 14 MB is the known-good max)
-        sub_L = min(self.myers_sub, max(32768 // Lb, 1))
-        # pad batch to a myers-block multiple (or the full ed_batch when
-        # the wavefront path will run, for shape stability)
-        if (self.use_pallas and sub_L >= 4 and not hw_mode
-                and Wp == 128 and Lb >= 160):
-            blk = sub_L * 128
-            nblk = -(-B // blk)
-            nblk = 1 << (nblk - 1).bit_length()  # power-of-2 grid sizes only
-            Bp = min(self.ed_batch, nblk * blk)
+        cap = min(self.ed_batch, self.batch_pairs)
+        if B <= cap:
+            Bp = cap
         else:
-            cap = min(self.ed_batch, self.batch_pairs)
-            if B <= cap:
-                Bp = cap
-            else:
-                nchunk = -(-B // 128)
-                Bp = (1 << (nchunk - 1).bit_length()) * 128
+            nchunk = -(-B // 128)
+            Bp = (1 << (nchunk - 1).bit_length()) * 128
         if B < Bp:
             q = np.pad(q, ((0, Bp - B), (0, 0)), constant_values=5)
             t = np.pad(t, ((0, Bp - B), (0, 0)), constant_values=6)
@@ -293,15 +444,6 @@ class PairEngine:
             ed, ej = self.sharder.banded_ed(q, t, qlen, tlen, Wp=Wp, L=Lb,
                                             hw_mode=hw_mode, small=small)
             return ("wave", small), B, ed, ej, qlen, tlen
-        if (self.use_pallas and sub_L >= 4 and not hw_mode
-                and Wp == 128 and Lb >= 256 and Lb % 32 == 0
-                and qlen.shape[0] % (sub_L * 128) == 0):
-            # primary NW path: bit-parallel Myers kernel
-            from .myers_pallas import myers_ed_pallas
-
-            ed = myers_ed_pallas(q, t, qlen, tlen, L=Lb, sub=sub_L)
-            ej = tlen
-            return ("myers", False), B, ed, ej, qlen, tlen
         if (self.use_pallas and Wp == 128 and Lb % 64 == 0
                 and qlen.shape[0] % 128 == 0):
             from .wavefront_pallas import banded_ed_pallas

@@ -192,11 +192,36 @@ def _kernel(peq_ref, text_ref, nlen_ref, mlen_ref, nword_ref, nbit_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("L", "interpret", "sub"))
+def myers_ed_pool(pool_flat, plen, ia, ib, *, L: int, interpret: bool = False,
+                  sub: int = SUB):
+    """Pool-gather variant: sequences live in a device-resident pool,
+    shipped FLAT ([U*L] int8 + lengths [U]); per batch only the int32 index
+    vectors cross the host link.  ia/ib index the pair's two sequences.
+    The pool stays 1-D outside the jit on purpose: 1-D int8 has a canonical
+    device layout, so host->device pushes are fast and the committed-array
+    layout embedded in the compile-cache key is stable across processes."""
+    U = pool_flat.shape[0] // L
+    pool = pool_flat.reshape(U, L)
+    qcodes = jnp.take(pool, ia, axis=0)
+    tcodes = jnp.take(pool, ib, axis=0)
+    qlen = jnp.take(plen, ia)
+    tlen = jnp.take(plen, ib)
+    return _myers_ed(qcodes, tcodes, qlen, tlen, L=L, interpret=interpret,
+                     sub=sub)
+
+
+@functools.partial(jax.jit, static_argnames=("L", "interpret", "sub"))
 def myers_ed_pallas(qcodes, tcodes, qlen, tlen, *, L: int,
                     interpret: bool = False, sub: int = SUB):
     """Batched banded Myers NW edit distance; B multiple of 1024, L multiple
     of 32 with L >= 160.  Swaps q/t per pair so that len(q) <= len(t).
     Returns ed [B] int32 (certified per ``myers_certifies``)."""
+    return _myers_ed(qcodes, tcodes, qlen, tlen, L=L, interpret=interpret,
+                     sub=sub)
+
+
+def _myers_ed(qcodes, tcodes, qlen, tlen, *, L: int, interpret: bool,
+              sub: int):
     assert L % 32 == 0 and L >= 32 * WIN
     SUBX = sub
     block = SUBX * LANES

@@ -1,0 +1,79 @@
+"""Pallas affine kernel vs the lax.scan reference implementation.
+
+Scores, endpoints, overflow flags and decoded alignments must agree
+pair-for-pair (the scan kernel is itself pinned to the numpy oracle in
+test_affine.py).
+"""
+import random
+
+import numpy as np
+
+from isocon_tpu.ops.affine import ops_to_alignment, sg_align_with_ops
+from isocon_tpu.ops.affine_pallas import sg_align_with_ops_pallas
+from isocon_tpu.ops.encode import pad_batch
+
+
+def make_pairs(rng, B, L):
+    def rs(n):
+        return "".join(rng.choice("ACGT") for _ in range(n))
+
+    def mut(s, k):
+        s = list(s)
+        for _ in range(k):
+            op = rng.choice("SID")
+            p = rng.randrange(len(s))
+            if op == "S":
+                s[p] = rng.choice("ACGT")
+            elif op == "I" and len(s) < L - 1:
+                s.insert(p, rng.choice("ACGT"))
+            elif len(s) > 2:
+                del s[p]
+        return "".join(s)
+
+    pairs = []
+    for i in range(B):
+        a = rs(rng.randrange(60, L - 60))
+        if i % 5 == 0:
+            b = rs(rng.randrange(60, L - 60))   # unrelated
+        elif i % 5 == 1:
+            b = a[rng.randrange(0, 20):][:max(10, len(a) - rng.randrange(0, 20))]
+            b = mut(b, rng.randrange(0, 6))     # clipped ends
+        else:
+            b = mut(a, rng.randrange(0, 25))
+        pairs.append((a, b))
+    return pairs
+
+
+def test_affine_pallas_matches_scan():
+    rng = random.Random(11)
+    B, L, Wp = 128, 256, 256
+    pairs = make_pairs(rng, B, L)
+    q, qlen = pad_batch([a for a, _ in pairs], L)
+    t, tlen = pad_batch([b for _, b in pairs], L)
+    ma = np.full(B, 2, np.int16)
+    mi = np.array([(-1, -2, -4)[i % 3] for i in range(B)], np.int16)
+    go = np.full(B, 2, np.int16)
+    ge = np.array([0, 1] * (B // 2), np.int16)
+
+    ref = sg_align_with_ops(q, t, qlen, tlen, ma, mi, go, ge, Wp=Wp, L=L)
+    got = sg_align_with_ops_pallas(q, t, qlen, tlen, ma, mi, go, ge,
+                                   Wp=Wp, L=L, interpret=True)
+    r_best, r_ei, r_ej, r_ops, r_fi, r_fj, r_ov = [np.asarray(x) for x in ref]
+    g_best, g_ei, g_ej, g_ops, g_fi, g_fj, g_ov = [np.asarray(x) for x in got]
+
+    np.testing.assert_array_equal(g_ov, r_ov)
+    ok = ~r_ov
+    np.testing.assert_array_equal(g_best[ok], r_best[ok])
+    np.testing.assert_array_equal(g_ei[ok], r_ei[ok])
+    np.testing.assert_array_equal(g_ej[ok], r_ej[ok])
+    np.testing.assert_array_equal(g_fi[ok], r_fi[ok])
+    np.testing.assert_array_equal(g_fj[ok], r_fj[ok])
+    for i in range(B):
+        if r_ov[i]:
+            continue
+        a, b = pairs[i]
+        want = ops_to_alignment(r_ops[i], a, b, int(r_ei[i]), int(r_ej[i]),
+                                int(r_fi[i]), int(r_fj[i]))
+        have = ops_to_alignment(g_ops[i], a, b, int(g_ei[i]), int(g_ej[i]),
+                                int(g_fi[i]), int(g_fj[i]))
+        assert have == want, i

@@ -45,3 +45,55 @@ def test_myers_kernel_certified_exact():
             want = oracle.edit_distance(pairs[i][0], pairs[i][1])
             assert ed[i] == want, (i, ed[i], want)
     assert checked > 50
+
+
+def test_myers_pool_gather_matches_dense():
+    """The pool-gather entry must agree with the dense entry pair-for-pair."""
+    rng = random.Random(3)
+
+    def rs(n):
+        return "".join(rng.choice("ACGT") for _ in range(n))
+
+    L = 256
+    uniq = [rs(rng.randrange(100, 240)) for _ in range(50)]
+    B = 1024
+    ia = np.array([rng.randrange(len(uniq)) for _ in range(B)], np.int32)
+    ib = np.array([rng.randrange(len(uniq)) for _ in range(B)], np.int32)
+    pool, plens = pad_batch(uniq, L)
+    from isocon_tpu.ops.myers_pallas import myers_ed_pool
+
+    got = np.asarray(
+        myers_ed_pool(pool.reshape(-1), plens, ia, ib, L=L, interpret=True)
+    )
+    q, qlen = pad_batch([uniq[i] for i in ia], L)
+    t, tlen = pad_batch([uniq[i] for i in ib], L)
+    want = np.asarray(myers_ed_pallas(q, t, qlen, tlen, L=L, interpret=True))
+    assert (got == want).all()
+
+
+def test_seq_pool_delta_push():
+    """Device pool content stays correct across incremental delta pushes."""
+    from isocon_tpu.ops.encode import encode_seq
+    from isocon_tpu.ops.engine import _SeqPool
+
+    rng = random.Random(5)
+    pool = _SeqPool(64)
+    enc = encode_seq
+
+    def rs(n):
+        return "".join(rng.choice("ACGT") for _ in range(n))
+
+    seqs = [rs(rng.randrange(10, 60)) for _ in range(30)]
+    for s in seqs[:10]:
+        pool.intern(s, enc)
+    m1, l1 = pool.device_arrays()
+    for s in seqs[10:]:
+        pool.intern(s, enc)
+    m2, l2 = pool.device_arrays()   # delta push
+    got = np.asarray(m2).reshape(-1, 64)
+    lens = np.asarray(l2)
+    for s in seqs:
+        r = pool.rows[s]
+        e = enc(s)
+        assert lens[r] == len(s)
+        assert (got[r, : len(e)] == e).all(), s
