@@ -382,3 +382,37 @@ def sg_align_with_ops_pallas(qcodes, tcodes, qlen, tlen, match, mismatch,
     fj = stf[:, 1]
     overflow = stf[:, 3] != 0
     return best[:, 0], ei[:, 0], ej[:, 0], ops, fi, fj, overflow
+
+
+@functools.partial(jax.jit, static_argnames=("Wp", "L", "interpret"))
+def sg_align_pool_pallas(pool_flat, plen, ia, ib, match, mismatch, gopen,
+                         gext, *, Wp: int, L: int, interpret: bool = False):
+    """Pool-gather + packed-opcode variant for thin host links.
+
+    Sequences are gathered on device from the flat interned pool (see
+    ``myers_pallas.myers_ed_pool`` for why the pool ships flat) and the
+    backward opcode stream is packed 4 opcodes/byte (exactly 2 bits each:
+    NONE/DIAG/GAPQ/GAPT), so a pair costs ~S/4 bytes of down-transfer
+    instead of 2L up + S down.  Unpack with ``unpack_ops``.
+    """
+    U = pool_flat.shape[0] // L
+    pool = pool_flat.reshape(U, L)
+    qcodes = jnp.take(pool, ia, axis=0)
+    tcodes = jnp.take(pool, ib, axis=0)
+    qlen = jnp.take(plen, ia)
+    tlen = jnp.take(plen, ib)
+    best, ei, ej, ops, fi, fj, overflow = sg_align_with_ops_pallas(
+        qcodes, tcodes, qlen, tlen, match, mismatch, gopen, gext,
+        Wp=Wp, L=L, interpret=interpret)
+    S = ops.shape[1]
+    packed = ops.reshape(ops.shape[0], S // 4, 4).astype(jnp.uint32)
+    shifts = jnp.arange(4, dtype=jnp.uint32) * 2
+    packed = jnp.sum(packed << shifts[None, None, :], axis=2).astype(jnp.uint8)
+    return best, ei, ej, packed, fi, fj, overflow
+
+
+def unpack_ops(packed: np.ndarray) -> np.ndarray:
+    """Host-side inverse of the 2-bit opcode packing ([B, S//4] -> [B, S])."""
+    b = packed[:, :, None].astype(np.uint8)
+    shifts = (np.arange(4, dtype=np.uint8) * 2)[None, None, :]
+    return ((b >> shifts) & 3).reshape(packed.shape[0], -1)

@@ -551,6 +551,32 @@ class PairEngine:
         B = len(chunk)
         if Bp is None:
             Bp = self.batch_pairs
+        if (self.use_pallas and self.sharder is None and Wp % 128 == 0
+                and Wp >= 256 and Lb % 64 == 0 and Bp % 128 == 0):
+            # pooled Pallas path: gather sequences on device, return packed
+            # 2-bit opcodes (the host link is the bottleneck, ~8 KB/pair
+            # otherwise)
+            pool = self._pools.get(Lb)
+            if pool is None:
+                pool = self._pools[Lb] = _SeqPool(Lb)
+            ia = np.zeros(Bp, dtype=np.int32)
+            ib = np.zeros(Bp, dtype=np.int32)
+            ma = np.full(Bp, 2, dtype=np.int16)
+            mi = np.full(Bp, -2, dtype=np.int16)
+            go = np.full(Bp, 2, dtype=np.int16)
+            ge = np.full(Bp, 0, dtype=np.int16)
+            for pos, i in enumerate(chunk):
+                a, b = pairs[i]
+                ia[pos] = pool.intern(a, self._enc)
+                ib[pos] = pool.intern(b, self._enc)
+                m_, x_, o_, e_ = scores[i]
+                ma[pos], mi[pos], go[pos], ge[pos] = m_, -abs(x_), o_, e_
+            from .affine_pallas import sg_align_pool_pallas
+
+            dev_mat, dev_lens = pool.device_arrays()
+            outs = sg_align_pool_pallas(
+                dev_mat, dev_lens, ia, ib, ma, mi, go, ge, Wp=Wp, L=Lb)
+            return ("pallas",) + tuple(outs)
         q = np.full((Bp, Lb), 5, dtype=np.int8)
         t = np.full((Bp, Lb), 6, dtype=np.int8)
         qlen = np.ones(Bp, dtype=np.int32)
@@ -577,10 +603,18 @@ class PairEngine:
 
     def _collect_align(self, pairs, chunk, Lb, Wp, handle, out, next_round,
                        bands):
+        packed = False
+        if handle[0] == "pallas":
+            packed = True
+            handle = handle[1:]
         best, ei, ej, ops, fi, fj, overflow = handle
         ei = np.asarray(ei)
         ej = np.asarray(ej)
         ops = np.asarray(ops)
+        if packed:
+            from .affine_pallas import unpack_ops
+
+            ops = unpack_ops(ops)
         fi = np.asarray(fi)
         fj = np.asarray(fj)
         overflow = np.asarray(overflow)

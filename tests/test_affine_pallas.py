@@ -77,3 +77,34 @@ def test_affine_pallas_matches_scan():
         have = ops_to_alignment(g_ops[i], a, b, int(g_ei[i]), int(g_ej[i]),
                                 int(g_fi[i]), int(g_fj[i]))
         assert have == want, i
+
+
+def test_affine_pool_packed_matches():
+    rng = random.Random(23)
+    B, L, Wp = 128, 256, 256
+    pairs = make_pairs(rng, B, L)
+    uniq = sorted({s for p in pairs for s in p})
+    rows = {s: i for i, s in enumerate(uniq)}
+    pad_rows = 1 << (len(uniq) - 1).bit_length()
+    pool, plens = pad_batch(uniq + [""] * (pad_rows - len(uniq)), L)
+    ia = np.array([rows[a] for a, _ in pairs], np.int32)
+    ib = np.array([rows[b] for _, b in pairs], np.int32)
+    ma = np.full(B, 2, np.int16)
+    mi = np.full(B, -2, np.int16)
+    go = np.full(B, 2, np.int16)
+    ge = np.full(B, 0, np.int16)
+
+    from isocon_tpu.ops.affine_pallas import sg_align_pool_pallas, unpack_ops
+
+    got = sg_align_pool_pallas(pool.reshape(-1), plens, ia, ib, ma, mi, go,
+                               ge, Wp=Wp, L=L, interpret=True)
+    q, qlen = pad_batch([a for a, _ in pairs], L)
+    t, tlen = pad_batch([b for _, b in pairs], L)
+    ref = sg_align_with_ops_pallas(q, t, qlen, tlen, ma, mi, go, ge,
+                                   Wp=Wp, L=L, interpret=True)
+    r = [np.asarray(x) for x in ref]
+    g = [np.asarray(x) for x in got]
+    ops_unpacked = unpack_ops(g[3])
+    np.testing.assert_array_equal(ops_unpacked, r[3])
+    for k in (0, 1, 2, 4, 5, 6):
+        np.testing.assert_array_equal(g[k], r[k])
