@@ -54,6 +54,13 @@ def initialize_logger(params) -> None:
 
 
 def make_engine(params) -> PairEngine:
+    """Build the pair engine; ``--devices N`` is the rebuild's analog of
+    the reference's ``--nr_cores`` (``IsoCon:197``): it builds an N-device
+    mesh and shards every kernel batch over it."""
+    if params.device_mesh is None and getattr(params, "devices", 1) > 1:
+        from .parallel.mesh import make_mesh
+
+        params.device_mesh = make_mesh(params.devices)
     sharder = None
     if params.device_mesh is not None:
         from .parallel.sharding import Sharder
@@ -160,6 +167,9 @@ def _add_common(p, with_stats: bool) -> None:
     p.add_argument("--cleanup", action="store_true")
     p.add_argument("--batch_pairs", type=int, default=128,
                    help="pairs per device batch (TPU engine)")
+    p.add_argument("--devices", type=int, default=1,
+                   help="shard kernel batches over an N-device mesh "
+                        "(the reference's --nr_cores analog)")
     p.add_argument("--nontargeted", action="store_true",
                    help="approximate sketch-retrieval candidate search "
                         "(the reference's minimap mode)")

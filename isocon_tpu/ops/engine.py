@@ -43,9 +43,17 @@ def enable_compilation_cache() -> None:
         "ISOCON_XLA_CACHE", os.path.expanduser("~/.cache/isocon_tpu_xla")
     )
     try:
-        # per-backend subdir: a CPU process must not load AOT executables
-        # compiled for the accelerator host's CPU (machine-feature mismatch)
-        cache_dir = os.path.join(cache_dir, jax.default_backend())
+        backend = jax.default_backend()
+        if backend == "cpu":
+            # No persistence for CPU: XLA:CPU AOT entries embed machine
+            # features (including tuning flags like +prefer-no-scatter that
+            # never match the host list), so every load logs a SIGILL-risk
+            # error -- and measured warm-cache savings on the CPU pipeline
+            # are ~3% (382s vs 395s on n_200), since CPU compiles are cheap
+            # next to the DP compute.  Persistence only pays on the TPU,
+            # where each shape costs 10-30s to compile over the tunnel.
+            return
+        cache_dir = os.path.join(cache_dir, backend)
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -576,7 +584,7 @@ class PairEngine:
             dev_mat, dev_lens = pool.device_arrays()
             outs = sg_align_pool_pallas(
                 dev_mat, dev_lens, ia, ib, ma, mi, go, ge, Wp=Wp, L=Lb)
-            return ("pallas",) + tuple(outs)
+            return ("pallas", tuple(outs))
         q = np.full((Bp, Lb), 5, dtype=np.int8)
         t = np.full((Bp, Lb), 6, dtype=np.int8)
         qlen = np.ones(Bp, dtype=np.int32)
@@ -599,15 +607,13 @@ class PairEngine:
         else:
             outs = sg_align_with_ops(
                 q, t, qlen, tlen, ma, mi, go, ge, Wp=Wp, L=Lb)
-        return outs
+        return ("raw", tuple(outs))
 
     def _collect_align(self, pairs, chunk, Lb, Wp, handle, out, next_round,
                        bands):
-        packed = False
-        if handle[0] == "pallas":
-            packed = True
-            handle = handle[1:]
-        best, ei, ej, ops, fi, fj, overflow = handle
+        kind, outs = handle  # every launch path tags its handle explicitly
+        packed = kind == "pallas"
+        best, ei, ej, ops, fi, fj, overflow = outs
         ei = np.asarray(ei)
         ej = np.asarray(ej)
         ops = np.asarray(ops)

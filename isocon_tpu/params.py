@@ -43,6 +43,7 @@ class Params:
     plotfolder: str = ""
 
     # engine knobs (new in the TPU rebuild; no reference analog)
+    devices: int = 1              # multi-chip: shard the engine over N devices
     batch_pairs: int = 128        # pairs per device batch for the DP kernels
     k0: int = 63                  # initial band radius for k-escalation NN search
     use_pallas: Optional[bool] = None  # None = auto (TPU -> pallas, else lax.scan)

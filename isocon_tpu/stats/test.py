@@ -42,6 +42,7 @@ def arrange_and_test(
     aln_ct: Tuple[str, str],
     ccs_dict,
     max_phred_q_trusted: int,
+    p_value_threshold: Optional[float] = None,
 ):
     """Core of ``arrange_alignments_new_no_realign`` (``:91-174``) given the
     two precomputed alignments: aln_tc = align(t, c), aln_ct = align(c, t).
@@ -90,13 +91,20 @@ def arrange_and_test(
     if len(probability) == 0:
         assert len(reads_support) == 0
         return variant_coords_t, 0.0, reads_support, 0
-    p_value = raghavan_upper_pvalue_bound(probability, reads_support)
+    # the caller compares p * correction_factor against the threshold, so
+    # the near-threshold Decimal re-check needs the factor too
+    factor = (
+        1.0 if ccs_dict else correction_factor(len(t_seq), variant_coords_t)
+    )
+    p_value = raghavan_upper_pvalue_bound(
+        probability, reads_support, threshold=p_value_threshold, factor=factor
+    )
     return variant_coords_t, p_value, reads_support, len(probability)
 
 
 def statistical_test(
     c_acc, t_acc, c_seq, t_seq, read_alignments_to_c, read_alignments_to_t,
-    aln_tc, aln_ct, ccs_dict, max_phred_q_trusted,
+    aln_tc, aln_ct, ccs_dict, max_phred_q_trusted, p_value_threshold=None,
 ):
     """``hypothesis_test_module.py:216-242``.
 
@@ -111,6 +119,7 @@ def statistical_test(
     delta_t, p_value, reads_support, nr_used = arrange_and_test(
         t_acc, c_acc, t_seq, c_seq, read_alignments_to_c,
         read_alignments_to_t, aln_tc, aln_ct, ccs_dict, max_phred_q_trusted,
+        p_value_threshold,
     )
     variant_types = ";".join(
         "(" + str(delta_t[j][0]) + "," + str(j) + "," + str(delta_t[j][2]) + ")"
@@ -164,6 +173,7 @@ def do_statistical_tests_per_edge(
             c_acc, t_acc, C[c_acc], C[t_acc],
             read_partition[c_acc], read_partition[t_acc],
             (a_t, a_c), (b_c, b_t), reduced, params.max_phred_q_trusted,
+            getattr(params, "p_value_threshold", None),
         )
         p_values[c_acc][t_acc] = (p_value, factor, k, N_t, variant_types)
     return p_values

@@ -57,6 +57,63 @@ def test_sharded_engine_matches_local():
     assert a1 == a2
 
 
+def _noisy_copy(rng, s, error_rate):
+    out = []
+    for ch in s:
+        r = rng.random()
+        if r < error_rate * 0.4:
+            out.append(rng.choice([c for c in "ACGT" if c != ch]))
+        elif r < error_rate * 0.7:
+            out.append(ch)
+            out.append(rng.choice("ACGT"))
+        elif r < error_rate:
+            pass
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+@needs_devices
+def test_sharded_pipeline_matches_local(tmp_path):
+    """Full pipeline: --devices 8 must produce final_candidates.fa
+    identical to the single-device run (SURVEY.md sec 4: same-answer
+    checks 1-chip vs N-device sharded runs)."""
+    from isocon_tpu.cli import main as cli_main
+    from isocon_tpu.io import read_fasta
+
+    rng = random.Random(7)
+    base = "".join(rng.choice("ACGT") for _ in range(260))
+    bl = list(base)
+    for pos in (30, 130, 230):
+        bl[pos] = {"A": "C", "C": "G", "G": "T", "T": "A"}[bl[pos]]
+    iso_a, iso_b = base, "".join(bl)
+    read_file = str(tmp_path / "reads.fa")
+    with open(read_file, "w") as fh:
+        for i in range(12):
+            fh.write(">ra_%d\n%s\n" % (i, _noisy_copy(rng, iso_a, 0.01)))
+        for i in range(12):
+            fh.write(">rb_%d\n%s\n" % (i, _noisy_copy(rng, iso_b, 0.01)))
+
+    outputs = {}
+    for tag, ndev in (("local", 1), ("sharded", 8)):
+        out = str(tmp_path / ("out_" + tag))
+        cli_main([
+            "pipeline", "-fl_reads", read_file, "-outfolder", out,
+            "--batch_pairs", "32", "--devices", str(ndev),
+        ])
+        cands = sorted(
+            (acc.split("_support_")[-1], seq)
+            for acc, seq in read_fasta(out + "/final_candidates.fa")
+        )
+        info = sorted(
+            tuple(l.split()) for l in open(out + "/cluster_info.tsv")
+            if l.strip()
+        )
+        outputs[tag] = (cands, info)
+    assert outputs["local"] == outputs["sharded"]
+    assert {s for _sup, s in outputs["local"][0]} == {iso_a, iso_b}
+
+
 @needs_devices
 def test_2d_blocked_distance_matrix():
     from jax.sharding import Mesh

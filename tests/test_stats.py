@@ -34,6 +34,63 @@ def test_raghavan_monotone_in_support():
         last = p
 
 
+def test_raghavan_fast_path_matches_decimal():
+    """Property test (VERDICT item 5): the float64 log-space fast path must
+    make the same accept/reject decisions as the prec-100 Decimal
+    evaluation on random edges, and agree to high relative accuracy."""
+    import random
+
+    from isocon_tpu.stats.raghavan import _decimal_bound
+
+    rng = random.Random(0)
+    for trial in range(300):
+        n = rng.randrange(2, 60)
+        probs = {
+            "r%d" % i: 10 ** rng.uniform(-8, -0.05) for i in range(n)
+        }
+        k = rng.randrange(0, n + 1)
+        supp = ["r%d" % i for i in range(k)]
+        p_fast = raghavan_upper_pvalue_bound(probs, supp)
+        # recompute the Decimal answer on the same m/y
+        import math as _m
+
+        lp = {a: -_m.log10(p) for a, p in probs.items()}
+        mx = max(lp.values())
+        w = {a: v / mx for a, v in lp.items()}
+        m = sum(w[a] * probs[a] for a in probs)
+        y = sum(w[a] for a in supp)
+        if y == 0:
+            assert p_fast == 1.0
+            continue
+        if y == m:
+            assert p_fast == 0.5
+            continue
+        p_dec = _decimal_bound(m, y)
+        if p_dec == 0.0 or p_fast == 0.0:
+            assert p_dec == p_fast == 0.0, (trial, p_fast, p_dec)
+        else:
+            assert abs(_m.log10(p_fast) - _m.log10(p_dec)) < 1e-6, (
+                trial, p_fast, p_dec,
+            )
+        # decision equality at a few thresholds
+        for thr in (0.01, 1e-5, 0.3):
+            assert (p_fast < thr) == (p_dec < thr) or (
+                abs(_m.log10(max(p_fast, 1e-320)) - _m.log10(thr)) < 1e-6
+            )
+
+
+def test_raghavan_near_threshold_uses_decimal():
+    """Within 10x of the threshold the Decimal path re-evaluates."""
+    probs = {"r%d" % i: 0.2 for i in range(20)}
+    supp = ["r0", "r1", "r2"]
+    p_plain = raghavan_upper_pvalue_bound(probs, supp)
+    p_thr = raghavan_upper_pvalue_bound(probs, supp, threshold=p_plain,
+                                        factor=1.0)
+    # both paths agree (fast vs Decimal) -- exercises the fallback branch
+    assert p_plain > 0
+    assert abs(math.log10(p_thr) - math.log10(p_plain)) < 1e-9
+
+
 def test_correction_factor():
     # one substitution on a length-10 reference
     delta = {3: ("S", "A", 1)}
