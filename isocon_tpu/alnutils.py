@@ -8,7 +8,14 @@ from __future__ import annotations
 import re
 from typing import Dict, Set, Tuple
 
+import numpy as np
+
 _GAP_RUN = re.compile(r"[-]+")
+_DASH = np.uint8(ord("-"))
+
+
+def _bytes(s: str) -> np.ndarray:
+    return np.frombuffer(s.encode("latin1"), dtype=np.uint8)
 
 
 def get_mask_start_and_end(aln_a: str, aln_b: str) -> Tuple[int, int]:
@@ -54,27 +61,33 @@ def filter_exon_differences(
 
 def read_errors_from_alignment(ref_aln: str, read_aln: str) -> Tuple[int, int, int]:
     """(insertions, deletions, substitutions) of the read vs the reference,
-    end gap runs excluded (``functions.py:495-522``)."""
-    def lead(s):
-        m = re.match(r"[-]+", s)
-        return len(m.group()) if m else 0
+    end gap runs excluded (``functions.py:495-522``).  Vectorized: this is
+    called once per read per test edge."""
+    a = _bytes(ref_aln)
+    b = _bytes(read_aln)
+    n = len(a)
 
-    start = max(lead(ref_aln), lead(read_aln))
-    stop = len(ref_aln) - max(lead(ref_aln[::-1]), lead(read_aln[::-1]))
-    ins = dele = subs = 0
-    for n1, n2 in zip(ref_aln[start:stop], read_aln[start:stop]):
-        if n1 == n2:
-            continue
-        if n1 == "-":
-            ins += 1
-        elif n2 == "-":
-            dele += 1
-        else:
-            subs += 1
+    def lead(arr):
+        nz = np.flatnonzero(arr != _DASH)
+        return int(nz[0]) if nz.size else len(arr)
+
+    start = max(lead(a), lead(b))
+    stop = n - max(lead(a[::-1]), lead(b[::-1]))
+    if stop <= start:
+        return 0, 0, 0
+    aa = a[start:stop]
+    bb = b[start:stop]
+    diff = aa != bb
+    ins = int((diff & (aa == _DASH)).sum())
+    dele = int((diff & (bb == _DASH)).sum())
+    subs = int(diff.sum()) - ins - dele
     return ins, dele, subs
 
 
 def alignment_stats(a1: str, a2: str) -> Tuple[int, int, int]:
-    matches = sum(1 for x, y in zip(a1, a2) if x == y and x != "-")
-    mismatches = sum(1 for x, y in zip(a1, a2) if x != y and x != "-" and y != "-")
+    x = _bytes(a1)
+    y = _bytes(a2)
+    eq = x == y
+    matches = int((eq & (x != _DASH)).sum())
+    mismatches = int((~eq & (x != _DASH) & (y != _DASH)).sum())
     return matches, mismatches, len(a1) - matches - mismatches

@@ -184,6 +184,28 @@ def correct_to_consensus(
     step: int,
     verbose: bool = False,
 ) -> Dict[str, str]:
+    """Dispatches to the dense numpy implementation (``correct/dense.py``);
+    ISOCON_NO_DENSE=1 forces this per-string reference implementation,
+    which doubles as the property-test oracle."""
+    import os
+
+    N_t = sum(t[3] for t in partition.values())
+    if (len(partition) > 1 and N_t > 2
+            and not os.environ.get("ISOCON_NO_DENSE")):
+        from .dense import correct_to_consensus_dense
+
+        return correct_to_consensus_dense(m, partition, seq_to_acc)
+    return _correct_to_consensus_oracle(m, partition, seq_to_acc, step,
+                                        verbose)
+
+
+def _correct_to_consensus_oracle(
+    m: str,
+    partition: Dict[str, Tuple[int, str, str, int]],
+    seq_to_acc: Dict[str, List[str]],
+    step: int,
+    verbose: bool = False,
+) -> Dict[str, str]:
     s_prime: Dict[str, str] = {}
     N_t = sum(t[3] for t in partition.values())
 

@@ -16,7 +16,7 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_HERE, "_isocon_native.so")
-_SRCS = ["myers_ed.cc", "traceback.cc"]
+_SRCS = ["myers_ed.cc", "traceback.cc", "affine_sg.cc"]
 _LOCK = threading.Lock()
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
@@ -31,7 +31,7 @@ def _build() -> bool:
         return True
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        "-o", _SO, *srcs,
+        "-pthread", "-o", _SO, *srcs,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
@@ -58,6 +58,21 @@ def get_lib() -> Optional[ctypes.CDLL]:
                     ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
                     ctypes.c_int64, ctypes.c_void_p,
                 ]
+                if hasattr(lib, "affine_sg_batch"):
+                    lib.affine_sg_batch.restype = None
+                    lib.affine_sg_batch.argtypes = [
+                        ctypes.c_void_p, ctypes.c_void_p,
+                        ctypes.c_void_p, ctypes.c_void_p,
+                        ctypes.c_int64, ctypes.c_int64,
+                        ctypes.c_void_p, ctypes.c_int64,
+                        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                    ]
+                    lib.myers_ed_batch_k.restype = None
+                    lib.myers_ed_batch_k.argtypes = [
+                        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                    ]
                 if hasattr(lib, "hw_banded_traceback"):
                     lib.hw_banded_traceback.restype = ctypes.c_int64
                     lib.hw_banded_traceback.argtypes = [
@@ -112,6 +127,70 @@ def myers_ed_batch(qs: np.ndarray, qlens: np.ndarray, ts: np.ndarray,
         L, B, k, out.ctypes.data,
     )
     return out
+
+def _nthreads() -> int:
+    n = os.cpu_count() or 1
+    return max(1, min(n, 16))
+
+
+def myers_ed_batch_k(qs: np.ndarray, qlens: np.ndarray, ts: np.ndarray,
+                     tlens: np.ndarray, ks: np.ndarray) -> np.ndarray:
+    """Batched native NW EDs with a per-pair cutoff (k < 0 => none),
+    threaded over the host cores.  Returns int64 EDs, -1 where > k."""
+    lib = get_lib()
+    B, L = qs.shape
+    out = np.empty(B, dtype=np.int64)
+    if lib is None or not hasattr(lib, "myers_ed_batch_k"):
+        for i in range(B):
+            out[i] = myers_ed(qs[i, : qlens[i]], ts[i, : tlens[i]],
+                              int(ks[i]))
+        return out
+    qs = np.ascontiguousarray(qs, dtype=np.uint8)
+    ts = np.ascontiguousarray(ts, dtype=np.uint8)
+    ql = np.ascontiguousarray(qlens, dtype=np.int64)
+    tl = np.ascontiguousarray(tlens, dtype=np.int64)
+    ka = np.ascontiguousarray(ks, dtype=np.int64)
+    lib.myers_ed_batch_k(
+        qs.ctypes.data, ql.ctypes.data, ts.ctypes.data, tl.ctypes.data,
+        L, B, ka.ctypes.data, _nthreads(), out.ctypes.data,
+    )
+    return out
+
+
+def affine_sg_batch(s1s: np.ndarray, s1lens: np.ndarray, s2s: np.ndarray,
+                    s2lens: np.ndarray, scores: np.ndarray):
+    """Batched full-DP affine SG alignments with traceback.
+
+    s1s/s2s: [B, L] uint8 padded; scores: [B, 4] int64 (ma, mi, go, ge with
+    mi negative, go/ge positive penalties).  Returns the engine handle
+    tuple (best, ei, ej, ops, fi, fj, overflow) with backward opcodes in
+    the same encoding as ``affine.walk_traceback`` (overflow always False:
+    the DP is unbanded).  Returns None when the native lib is unavailable.
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "affine_sg_batch"):
+        return None
+    B, L = s1s.shape
+    ops_stride = 2 * L + 2
+    s1s = np.ascontiguousarray(s1s, dtype=np.uint8)
+    s2s = np.ascontiguousarray(s2s, dtype=np.uint8)
+    l1 = np.ascontiguousarray(s1lens, dtype=np.int64)
+    l2 = np.ascontiguousarray(s2lens, dtype=np.int64)
+    sc = np.ascontiguousarray(scores, dtype=np.int64)
+    ops = np.zeros((B, ops_stride), dtype=np.uint8)
+    meta = np.zeros((B, 6), dtype=np.int64)
+    lib.affine_sg_batch(
+        s1s.ctypes.data, l1.ctypes.data, s2s.ctypes.data, l2.ctypes.data,
+        L, B, sc.ctypes.data, _nthreads(), ops.ctypes.data, ops_stride,
+        meta.ctypes.data,
+    )
+    return (
+        meta[:, 0].astype(np.int32), meta[:, 1].astype(np.int32),
+        meta[:, 2].astype(np.int32), ops,
+        meta[:, 3].astype(np.int32), meta[:, 4].astype(np.int32),
+        np.zeros(B, dtype=bool),
+    )
+
 
 def hw_banded_traceback(q: str, t: str, band: int = 128):
     """Banded infix (HW) unit-cost alignment with traceback; same contract

@@ -279,44 +279,40 @@ def sg_align_with_ops(qcodes, tcodes, qlen, tlen, match, mismatch, gopen,
     return best, ei, ej, ops, fi, fj, overflow
 
 
+_DASH = np.uint8(ord("-"))
+
+
 def ops_to_alignment(opcodes, q: str, t: str, end_i: int, end_j: int,
                      stop_i: int, stop_j: int) -> Tuple[str, str]:
-    """Host assembly of the aligned strings from backward opcodes."""
-    a1: List[str] = []
-    a2: List[str] = []
-    i, j = end_i, end_j
-    for op in opcodes:
-        if op == OP_NONE:
-            # the scan walk packs opcodes contiguously; the pallas walk is
-            # diagonal-aligned and leaves a gap after each diagonal move
-            continue
-        if op == OP_DIAG:
-            a1.append(q[i - 1])
-            a2.append(t[j - 1])
-            i -= 1
-            j -= 1
-        elif op == OP_GAPQ:
-            a1.append("-")
-            a2.append(t[j - 1])
-            j -= 1
-        else:  # OP_GAPT
-            a1.append(q[i - 1])
-            a2.append("-")
-            i -= 1
-    assert (i, j) == (stop_i, stop_j), (i, j, stop_i, stop_j)
-    while i > 0:
-        a1.append(q[i - 1])
-        a2.append("-")
-        i -= 1
-    while j > 0:
-        a1.append("-")
-        a2.append(t[j - 1])
-        j -= 1
-    a1.reverse()
-    a2.reverse()
+    """Host assembly of the aligned strings from backward opcodes
+    (vectorized -- this runs once per aligned pair)."""
+    ops = np.asarray(opcodes)
+    # the scan walk packs opcodes contiguously; the pallas walk is
+    # diagonal-aligned and leaves OP_NONE gaps after each diagonal move
+    ops = ops[ops != OP_NONE][::-1]  # forward order, stop -> end
+    consq = ops != OP_GAPQ           # consumes a q char
+    const = ops != OP_GAPT           # consumes a t char
+    nq = int(consq.sum())
+    nt = int(const.sum())
+    assert (stop_i + nq, stop_j + nt) == (end_i, end_j), (
+        stop_i, nq, stop_j, nt, end_i, end_j,
+    )
+    qa = np.frombuffer(q.encode("latin1"), dtype=np.uint8)
+    ta = np.frombuffer(t.encode("latin1"), dtype=np.uint8)
+    qi = stop_i + np.cumsum(consq) - 1
+    ti = stop_j + np.cumsum(const) - 1
+    if len(ops):
+        m1 = np.where(consq, qa[np.minimum(qi, len(qa) - 1)], _DASH)
+        m2 = np.where(const, ta[np.minimum(ti, len(ta) - 1)], _DASH)
+        mid1 = m1.tobytes().decode("latin1")
+        mid2 = m2.tobytes().decode("latin1")
+    else:
+        mid1 = mid2 = ""
     t1 = q[end_i:]
     t2 = t[end_j:]
-    return "".join(a1) + t1 + "-" * len(t2), "".join(a2) + "-" * len(t1) + t2
+    a1 = "-" * stop_j + q[:stop_i] + mid1 + t1 + "-" * len(t2)
+    a2 = t[:stop_j] + "-" * stop_i + mid2 + "-" * len(t1) + t2
+    return a1, a2
 
 
 def decode_traceback(

@@ -4,23 +4,29 @@ Same recurrence, tie-breaks and direction-bit packing as ``affine.py``
 (the lax.scan reference implementation, itself pinned to the numpy oracle
 ``oracle.align_semi_global``), re-placed for the TPU memory hierarchy:
 
-* Geometry follows ``wavefront_pallas.py``: pairs on sublanes (BB = 128 per
-  grid block), the band on lanes (Wp, a multiple of 128), two sliding
-  character windows rolled one lane per anti-diagonal and refilled with
-  128-aligned loads every 128 steps.
-* The H/E/F state planes live in VMEM scratch for the whole sweep -- the
-  lax.scan version round-trips every carry through HBM each of the 2L-1
-  steps, which is its dominant cost.
-* Direction bits (4 per cell: H-source 2b, E-opened, F-opened) stream to
-  HBM in diagonal chunks of CH via the output pipeline; the grid is
-  (pair_blocks, diag_chunks) with state persisting across the chunk axis.
-* The backward walk is a second kernel running the *same* grid in reverse:
+* Geometry follows ``wavefront_pallas.py``: pairs on sublanes (BB per grid
+  block, up to 512 -- sized against the VMEM budget), the band on lanes
+  (Wp, a multiple of 128), two sliding character windows rolled one lane
+  per anti-diagonal.
+* The H/E/F state planes live in VMEM scratch for the whole sweep; the
+  character stream is fed in (BB, 128) chunk-indexed blocks so VMEM cost
+  is independent of sequence length (the v1 kernel shipped the whole
+  padded text per pair block, capping BB at 128).
+* Direction bits (4 per cell) stream to HBM in diagonal chunks of CH via
+  the output pipeline; the grid is (pair_blocks, diag_chunks) with state
+  persisting across the chunk axis.
+* The per-step cost is instruction-issue-bound (measured ~54 ns/op at
+  BB=128), so the kernel trims per-diagonal work two ways: the free-end-
+  gap boundary masks only exist while d <= Wp/2 + 1, so chunks past that
+  run a mask-free body (``lax.cond`` on the chunk index); and the
+  endpoint scan is a 2-instruction per-lane key accumulation
+  (K = H << SB | step) decoded *outside* the kernel instead of a per-step
+  cross-lane argmax.
+* The backward walk is a second kernel running the same grid in reverse:
   at diagonal d every pair whose walker sits on d consumes one direction
   entry and emits one opcode, so dirs stream sequentially (no gathers).
-  Opcode index = (S + 1) - d (S = padded step count), giving each chunk a
-  contiguous, aligned opcode slice.  Unlike the scan walk, the opcode
-  stream may contain OP_NONE gaps at diagonals where a pair's walker
-  skipped (after a diagonal move); ``ops_to_alignment`` skips them.
+  The opcode stream may contain OP_NONE gaps (after a diagonal move);
+  ``ops_to_alignment`` skips them.
 
 Oracle equality: tests/test_affine_pallas.py checks scores, endpoints and
 decoded alignments against ``affine.sg_align_with_ops`` (itself tested
@@ -39,22 +45,50 @@ from jax.experimental.pallas import tpu as pltpu
 from .affine import H_DIAG, H_FROME, H_FROMF, H_START, NEG, QPAD, TPAD
 from .affine import OP_DIAG, OP_GAPQ, OP_GAPT, OP_NONE
 
-BB = 128     # pairs per grid block (sublanes)
 SCAL = 128   # lane width for per-pair scalar planes
 
-NEGI = np.int32(NEG)   # same floor value as the int16 scan kernel
+NEGI = np.int32(NEG)     # same floor value as the int16 scan kernel
+ACC_EMPTY = np.int32(-(2 ** 30))  # "no endpoint seen" (< NEG << SB)
 
 
-def _chunk_len(Wp: int, L: int) -> int:
-    # VMEM budget: dirs block (BB*CH*Wp bytes, double-buffered) + q/t char
-    # planes (BB*(4L+pad), double-buffered) + 4 state planes + 2 windows
-    return 64 if (Wp <= 256 and L <= 2048) else 32
+def _geometry(Wp: int, L: int, B: int):
+    """(BB, CH): pairs per grid block and diagonals per dirs chunk.
+
+    BB is pinned at 128: Mosaic compile time explodes (>5 min, vs 1.3 s at
+    128) for 256- and 512-sublane blocks of this kernel, measured on
+    v5-lite.  The c-indexed text streaming still keeps VMEM flat in L.
+    """
+    # Chunk lengths trade Mosaic compile time (the fori body is unrolled;
+    # the fwd body is doubled again by the boundary cond: CH=64 -> >250 s
+    # compile, CH=16 -> ~11 s) against per-chunk pipeline overhead.  The
+    # walk body is smaller, so it affords a longer chunk.  The two kernels
+    # may chunk differently: the dirs layout is sequential in the diagonal
+    # index, independent of the writer's chunking.
+    # ISOCON_AFFINE_CH / ISOCON_AFFINE_CHW override for tuning.
+    import os
+
+    CHF = int(os.environ.get("ISOCON_AFFINE_CH", 0)) or (
+        16 if Wp <= 1024 else 8
+    )
+    CHW = int(os.environ.get("ISOCON_AFFINE_CHW", 0)) or (
+        64 if Wp <= 512 else 16
+    )
+    return 128, CHF, CHW
 
 
-def _fwd_kernel(qp_ref, tp_ref, qlen_ref, tlen_ref, ma_ref, mi_ref, go_ref,
-                ge_ref, dirs_ref, best_ref, ei_ref, ej_ref,
-                h1_ref, h0_ref, e1_ref, f1_ref, wq_ref, wt_ref, bst_ref,
-                *, L: int, Wp: int, CH: int, P0q: int, P0t: int):
+def _fwd_kernel(winq_ref, wint_ref, qref_ref, tref_ref, qlen_ref, tlen_ref,
+                ma_ref, mi_ref, go_ref, ge_ref, dirs_ref, acol_out, arow_out,
+                h1_ref, h0_ref, e1_ref, f1_ref, wq_ref, wt_ref,
+                acol_ref, arow_ref,
+                *, L: int, Wp: int, CH: int, BB: int, SB: int, CB: int):
+    """One (pair_block, diag_chunk) grid step of the forward DP.
+
+    winq/wint: initial character windows (only read at c == 0).
+    qref/tref: (BB, 128) refill blocks, chunk-indexed to the next needed
+      128-char slab of the doubled/padded text planes.
+    acol/arow: per-lane endpoint key accumulators (outputs, block index
+      fixed so they persist across chunks like scratch).
+    """
     c = pl.program_id(1)
     o_lo = -(Wp // 2 - 1)
     o_vec = jnp.broadcast_to(
@@ -69,26 +103,21 @@ def _fwd_kernel(qp_ref, tp_ref, qlen_ref, tlen_ref, ma_ref, mi_ref, go_ref,
     go = go_ref[:, 0:1]
     ge = ge_ref[:, 0:1]
 
-    T0 = P0t + o_lo
-    Q0 = P0q + 2 * L - 1 + o_lo
-
     @pl.when(c == 0)
     def _init():
-        wt_ref[:] = tp_ref[:, pl.ds(T0, Wp + 128)].astype(jnp.int32)
-        wq_ref[:] = qp_ref[:, pl.ds(Q0 - 128, Wp + 128)].astype(jnp.int32)
-        # H at d=1 (boundary cells only) and d=0 (origin)
+        wq_ref[:] = winq_ref[:].astype(jnp.int32)
+        wt_ref[:] = wint_ref[:].astype(jnp.int32)
         h1_ref[:] = jnp.where(
             (o_vec == 1) | (o_vec == -1), 0, NEGI
         ).astype(jnp.int32)
         h0_ref[:] = jnp.where(o_vec == 0, 0, NEGI).astype(jnp.int32)
         e1_ref[:] = jnp.full((BB, Wp), NEGI, jnp.int32)
         f1_ref[:] = jnp.full((BB, Wp), NEGI, jnp.int32)
-        # trivial endpoints (n, 0) (preferred over (0, m) by larger i)
-        bst_ref[:, 0:1] = jnp.zeros((BB, 1), jnp.int32)
-        bst_ref[:, 1:2] = qlen
-        bst_ref[:, 2:3] = jnp.zeros((BB, 1), jnp.int32)
+        acol_ref[:] = jnp.full((BB, Wp), ACC_EMPTY, jnp.int32)
+        arow_ref[:] = jnp.full((BB, Wp), ACC_EMPTY, jnp.int32)
 
-    def step(s, _):
+    def make_step(boundary):
+      def step(s, _):
         ss = c * CH + s          # absolute step; diagonal d = ss + 2
         d = ss + 2
         H1 = h1_ref[:]
@@ -123,13 +152,18 @@ def _fwd_kernel(qp_ref, tp_ref, qlen_ref, tlen_ref, ma_ref, mi_ref, go_ref,
             H == diag, H_DIAG, jnp.where(H == E, H_FROME, H_FROMF)
         ).astype(jnp.int32)
 
-        on_boundary = (o_vec == d) | (o_vec == -d)
-        H = jnp.where(on_boundary, 0, H)
-        hdir = jnp.where(on_boundary, H_START, hdir)
-        out_grid = (o_vec > d) | (o_vec < -d)
-        H = jnp.where(out_grid, NEGI, H)
-        E = jnp.where(out_grid | on_boundary, NEGI, E)
-        F = jnp.where(out_grid | on_boundary, NEGI, F)
+        if boundary:
+            # free-end-gap boundary cells exist only while d <= Wp/2 + 1;
+            # the plain body (chunks past CB) skips all of this
+            on_boundary = (o_vec == d) | (o_vec == -d)
+            H = jnp.where(on_boundary, 0, H)
+            hdir = jnp.where(on_boundary, H_START, hdir)
+            out_grid = (o_vec > d) | (o_vec < -d)
+            H = jnp.where(out_grid, NEGI, H)
+            E = jnp.where(out_grid | on_boundary, NEGI, E)
+            F = jnp.where(out_grid | on_boundary, NEGI, F)
+        # floor: degraded band-edge cells otherwise drift below NEG and
+        # diverge from the (floored) scan kernel
         H = jnp.maximum(H, NEGI)
         E = jnp.maximum(E, NEGI)
         F = jnp.maximum(F, NEGI)
@@ -137,36 +171,19 @@ def _fwd_kernel(qp_ref, tp_ref, qlen_ref, tlen_ref, ma_ref, mi_ref, go_ref,
         dirs = (hdir | (e_opened << 2) | (f_opened << 3)).astype(jnp.uint8)
         dirs_ref[:, pl.ds(s * Wp, Wp)] = dirs
 
-        # endpoint scan (same tie rule as the scan kernel: max score, then
-        # larger i, then larger j)
-        best = bst_ref[:, 0:1]
-        ei = bst_ref[:, 1:2]
-        ej = bst_ref[:, 2:3]
-
-        def consider(best, ei, ej, lane, i_new, j_new, ok):
-            sel = lane_iota == lane
-            v = jnp.sum(jnp.where(sel, H, 0), axis=1, keepdims=True)
-            v = jnp.where(ok, v, NEGI - 1)
-            upd = (v > best) | (
-                (v == best) & ((i_new > ei) | ((i_new == ei) & (j_new > ej)))
-            )
-            return (
-                jnp.where(upd, v, best),
-                jnp.where(upd, i_new, ei),
-                jnp.where(upd, j_new, ej),
-            )
-
+        # endpoint tracking: last-col cells (i, m) at lane 2m - d - o_lo,
+        # last-row cells (n, j) at lane d - 2n - o_lo.  Accumulate the key
+        # K = (H << SB) | ss per family; ss is monotone in i (col family)
+        # and j (row family), so the per-family lane-max reproduces the
+        # "max score, then larger i, then larger j" rule; the cross-family
+        # merge happens outside the kernel.
+        K = (H << SB) + ss
         lane_col = 2 * tlen - d - o_lo
-        okc = ((lane_col >= 0) & (lane_col < Wp) & (d >= tlen)
-               & (d <= qlen + tlen))
-        best, ei, ej = consider(best, ei, ej, lane_col, d - tlen, tlen, okc)
+        okc = (d >= tlen) & (d <= qlen + tlen) & (lane_iota == lane_col)
+        acol_ref[:] = jnp.maximum(acol_ref[:], jnp.where(okc, K, ACC_EMPTY))
         lane_row = d - 2 * qlen - o_lo
-        okr = ((lane_row >= 0) & (lane_row < Wp) & (d >= qlen)
-               & (d <= qlen + tlen))
-        best, ei, ej = consider(best, ei, ej, lane_row, qlen, d - qlen, okr)
-        bst_ref[:, 0:1] = best
-        bst_ref[:, 1:2] = ei
-        bst_ref[:, 2:3] = ej
+        okr = (d >= qlen) & (d <= qlen + tlen) & (lane_iota == lane_row)
+        arow_ref[:] = jnp.maximum(arow_ref[:], jnp.where(okr, K, ACC_EMPTY))
 
         h0_ref[:] = H1
         h1_ref[:] = H
@@ -178,24 +195,26 @@ def _fwd_kernel(qp_ref, tp_ref, qlen_ref, tlen_ref, ma_ref, mi_ref, go_ref,
 
         @pl.when(jax.lax.rem(ss + 1, 128) == 0)
         def _refill():
-            sp = ss + 1
-            t_idx = pl.multiple_of(T0 + sp + Wp, 128)
-            wt_ref[:, pl.ds(Wp, 128)] = tp_ref[:, pl.ds(t_idx, 128)].astype(
-                jnp.int32)
-            q_idx = pl.multiple_of(Q0 - 128 - sp, 128)
-            wq_ref[:, pl.ds(0, 128)] = qp_ref[:, pl.ds(q_idx, 128)].astype(
-                jnp.int32)
+            wt_ref[:, pl.ds(Wp, 128)] = tref_ref[:].astype(jnp.int32)
+            wq_ref[:, pl.ds(0, 128)] = qref_ref[:].astype(jnp.int32)
 
         return 0
+      return step
 
-    jax.lax.fori_loop(0, CH, step, 0)
-    best_ref[:] = jnp.broadcast_to(bst_ref[:, 0:1], (BB, SCAL))
-    ei_ref[:] = jnp.broadcast_to(bst_ref[:, 1:2], (BB, SCAL))
-    ej_ref[:] = jnp.broadcast_to(bst_ref[:, 2:3], (BB, SCAL))
+    jax.lax.cond(
+        c <= CB,
+        lambda: jax.lax.fori_loop(0, CH, make_step(True), 0),
+        lambda: jax.lax.fori_loop(0, CH, make_step(False), 0),
+    )
+
+    @pl.when(c == pl.num_programs(1) - 1)
+    def _flush_endpoints():
+        acol_out[:] = acol_ref[:]
+        arow_out[:] = arow_ref[:]
 
 
 def _walk_kernel(dirs_ref, ei_ref, ej_ref, ops_ref, st_ref,
-                 *, Wp: int, CH: int, S: int):
+                 *, Wp: int, CH: int, BB: int, S: int):
     c = pl.program_id(1)
     o_lo = -(Wp // 2 - 1)
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (BB, Wp), 1)
@@ -273,25 +292,65 @@ def _paddings(L: int, Wp: int):
     return P0q, P0t
 
 
+def _pick_endpoint(acol, arow, qlen, tlen, SB):
+    """Cross-family merge of the endpoint key accumulators: reproduce the
+    oracle's 'max score, then larger i, then larger j' rule including the
+    trivial (score 0, i=n, j=0) seed."""
+    def decode(acc, is_col):
+        h = acc >> SB                       # arithmetic shift = floor
+        ss = acc - (h << SB)
+        d = ss + 2
+        valid = acc > ACC_EMPTY
+        if is_col:
+            i, j = d - tlen, tlen
+        else:
+            i, j = qlen, d - qlen
+        return h, i, j, valid
+
+    hc, ic, jc, vc = decode(jnp.max(acol, axis=1), True)
+    hr, ir, jr, vr = decode(jnp.max(arow, axis=1), False)
+
+    best = jnp.zeros_like(hc)
+    bi = qlen.astype(jnp.int32)
+    bj = jnp.zeros_like(hc)
+
+    def fold(best, bi, bj, h, i, j, valid):
+        better = valid & (
+            (h > best)
+            | ((h == best) & ((i > bi) | ((i == bi) & (j > bj))))
+        )
+        return (
+            jnp.where(better, h, best),
+            jnp.where(better, i, bi),
+            jnp.where(better, j, bj),
+        )
+
+    best, bi, bj = fold(best, bi, bj, hc, ic, jc, vc)
+    best, bi, bj = fold(best, bi, bj, hr, ir, jr, vr)
+    return best, bi, bj
+
+
 @functools.partial(jax.jit, static_argnames=("Wp", "L", "interpret"))
 def sg_align_with_ops_pallas(qcodes, tcodes, qlen, tlen, match, mismatch,
                              gopen, gext, *, Wp: int, L: int,
                              interpret: bool = False):
     """Drop-in Pallas version of ``affine.sg_align_with_ops``.
 
-    Returns (best, ei, ej, ops, fi, fj, overflow); ops is [B, S+?] uint8 in
+    Returns (best, ei, ej, ops, fi, fj, overflow); ops is [B, S] uint8 in
     backward order with possible OP_NONE gaps (see module docstring).
     """
     assert Wp % 128 == 0 and Wp >= 256
     assert L % 64 == 0
     B = qcodes.shape[0]
-    assert B % BB == 0
-    CH = _chunk_len(Wp, L)
+    assert B % 128 == 0
+    BB, CH, CHW = _geometry(Wp, L, B)
     steps = 2 * L - 1
     nchunks = -(-steps // CH)
-    per_ops_block = 128 // CH   # chunks sharing one 128-wide ops block
-    nchunks = -(-nchunks // per_ops_block) * per_ops_block
+    group = 128 // CH           # chunks per 128 steps (S must be % 128)
+    nchunks = -(-nchunks // group) * group
     S = nchunks * CH
+    SB = int(S + 1).bit_length()
+    CB = (Wp // 2) // CH + 1    # chunks that need the boundary masks
     P0q, P0t = _paddings(L, Wp)
 
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
@@ -307,41 +366,56 @@ def sg_align_with_ops_pallas(qcodes, tcodes, qlen, tlen, match, mismatch,
 
     QP = pad_to(qe, P0q, QPAD)
     TP = pad_to(te, P0t, TPAD)
+    T0 = P0t + (-(Wp // 2 - 1))
+    Q0 = P0q + 2 * L - 1 + (-(Wp // 2 - 1))
+    # initial sliding windows (read once at c == 0)
+    winq = jax.lax.dynamic_slice(QP, (0, Q0 - 128), (B, Wp + 128))
+    wint = jax.lax.dynamic_slice(TP, (0, T0), (B, Wp + 128))
 
     def scal(v, dtype=jnp.int32):
         return jnp.tile(v.astype(dtype)[:, None], (1, SCAL))
 
-    qlen2 = scal(qlen)
-    tlen2 = scal(tlen)
-    ma2 = scal(match)
-    mi2 = scal(mismatch)
-    go2 = scal(gopen)
-    ge2 = scal(gext)
-
     grid = (B // BB, nchunks)
-    Wq = QP.shape[1]
-    Wt = TP.shape[1]
-    pair_block = lambda w: pl.BlockSpec((BB, w), lambda i, c: (i, 0),
-                                        memory_space=pltpu.VMEM)
-    dirs, best, ei, ej = pl.pallas_call(
-        functools.partial(_fwd_kernel, L=L, Wp=Wp, CH=CH, P0q=P0q, P0t=P0t),
+    nqb = QP.shape[1] // 128
+    fixed = lambda w: pl.BlockSpec((BB, w), lambda i, c: (i, 0),
+                                   memory_space=pltpu.VMEM)
+    # refill blocks: the kth refill (fires when ss+1 = 128k) reads
+    # TP[:, T0 + Wp + 128k : +128] and QP[:, 2L - 128k : +128];
+    # k(c) = ((c+1)*CH) // 128 refills have completed by the end of chunk c
+    tp0 = (T0 + Wp) // 128      # T0 = 128, Wp % 128 == 0
+    qp0 = (2 * L) // 128
+    tref_spec = pl.BlockSpec(
+        (BB, 128),
+        lambda i, c: (i, tp0 + ((c + 1) * CH) // 128),
+        memory_space=pltpu.VMEM,
+    )
+    qref_spec = pl.BlockSpec(
+        (BB, 128),
+        lambda i, c: (i, jnp.maximum(qp0 - ((c + 1) * CH) // 128, 0)),
+        memory_space=pltpu.VMEM,
+    )
+    acc_spec = pl.BlockSpec((BB, Wp), lambda i, c: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    dirs, acol, arow = pl.pallas_call(
+        functools.partial(_fwd_kernel, L=L, Wp=Wp, CH=CH, BB=BB, SB=SB,
+                          CB=CB),
         out_shape=(
             jax.ShapeDtypeStruct((B, S * Wp), jnp.uint8),
-            jax.ShapeDtypeStruct((B, SCAL), jnp.int32),
-            jax.ShapeDtypeStruct((B, SCAL), jnp.int32),
-            jax.ShapeDtypeStruct((B, SCAL), jnp.int32),
+            jax.ShapeDtypeStruct((B, Wp), jnp.int32),
+            jax.ShapeDtypeStruct((B, Wp), jnp.int32),
         ),
         grid=grid,
         in_specs=[
-            pair_block(Wq),
-            pair_block(Wt),
-            pair_block(SCAL), pair_block(SCAL), pair_block(SCAL),
-            pair_block(SCAL), pair_block(SCAL), pair_block(SCAL),
+            fixed(Wp + 128), fixed(Wp + 128),      # winq, wint
+            qref_spec, tref_spec,
+            fixed(SCAL), fixed(SCAL), fixed(SCAL),
+            fixed(SCAL), fixed(SCAL), fixed(SCAL),
         ],
         out_specs=(
             pl.BlockSpec((BB, CH * Wp), lambda i, c: (i, c),
                          memory_space=pltpu.VMEM),
-            pair_block(SCAL), pair_block(SCAL), pair_block(SCAL),
+            acc_spec, acc_spec,
         ),
         scratch_shapes=[
             pltpu.VMEM((BB, Wp), jnp.int32),        # h1
@@ -350,38 +424,44 @@ def sg_align_with_ops_pallas(qcodes, tcodes, qlen, tlen, match, mismatch,
             pltpu.VMEM((BB, Wp), jnp.int32),        # f1
             pltpu.VMEM((BB, Wp + 128), jnp.int32),  # wq
             pltpu.VMEM((BB, Wp + 128), jnp.int32),  # wt
-            pltpu.VMEM((BB, SCAL), jnp.int32),      # best/ei/ej accumulator
+            pltpu.VMEM((BB, Wp), jnp.int32),        # acol accumulator
+            pltpu.VMEM((BB, Wp), jnp.int32),        # arow accumulator
         ],
         interpret=interpret,
-    )(QP, TP, qlen2, tlen2, ma2, mi2, go2, ge2)
+    )(winq, wint, QP, TP, scal(qlen), scal(tlen), scal(match),
+      scal(mismatch), scal(gopen), scal(gext))
 
+    best, ei, ej = _pick_endpoint(acol, arow, qlen.astype(jnp.int32),
+                                  tlen.astype(jnp.int32), SB)
+
+    nchunks_w = S // CHW
     ops, stf = pl.pallas_call(
-        functools.partial(_walk_kernel, Wp=Wp, CH=CH, S=S),
+        functools.partial(_walk_kernel, Wp=Wp, CH=CHW, BB=BB, S=S),
         out_shape=(
             jax.ShapeDtypeStruct((B, S), jnp.uint8),
             jax.ShapeDtypeStruct((B, SCAL), jnp.int32),
         ),
-        grid=grid,
+        grid=(B // BB, nchunks_w),
         in_specs=[
-            pl.BlockSpec((BB, CH * Wp), lambda i, c: (i, nchunks - 1 - c),
+            pl.BlockSpec((BB, CHW * Wp), lambda i, c: (i, nchunks_w - 1 - c),
                          memory_space=pltpu.VMEM),
-            pair_block(SCAL),
-            pair_block(SCAL),
+            fixed(SCAL),
+            fixed(SCAL),
         ],
         out_specs=(
-            pl.BlockSpec((BB, 128), lambda i, c: (i, (c * CH) // 128),
+            pl.BlockSpec((BB, 128), lambda i, c: (i, (c * CHW) // 128),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BB, SCAL), lambda i, c: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(dirs, ei, ej)
+    )(dirs, scal(ei), scal(ej))
     # the walk state (i, j, gap-state, overflow) is carried in the second
     # output block itself so it survives across grid steps
     fi = stf[:, 0]
     fj = stf[:, 1]
     overflow = stf[:, 3] != 0
-    return best[:, 0], ei[:, 0], ej[:, 0], ops, fi, fj, overflow
+    return best, ei, ej, ops, fi, fj, overflow
 
 
 @functools.partial(jax.jit, static_argnames=("Wp", "L", "interpret"))

@@ -191,6 +191,20 @@ class PairEngine:
                 jax.default_backend() != "cpu" and batch_pairs % 128 == 0
             )
         self.use_pallas = use_pallas
+        # On the CPU backend the lax.scan DP kernels are the slow path; a
+        # threaded C++ implementation of the same recurrences (bit-identical
+        # tie rules) replaces them: native/myers_ed.cc for NW distances,
+        # native/affine_sg.cc for SG alignments, native/traceback.cc for HW
+        # mode.  ISOCON_NO_NATIVE=1 forces the kernel path (tests use it to
+        # keep kernel coverage).
+        self.native_cpu = False
+        if sharder is None and not os.environ.get("ISOCON_NO_NATIVE"):
+            import jax
+
+            if jax.default_backend() == "cpu":
+                from ..native import native_available
+
+                self.native_cpu = native_available()
         if use_pallas:
             # the affine scan's cost is per-step, not per-pair: bigger align
             # batches are nearly free, and fewer device calls amortize the
@@ -286,6 +300,11 @@ class PairEngine:
             else:
                 rest.append(i)
 
+        if self.native_cpu and rest:
+            self._ed_native(pairs, rest, caps, hw_mode, ed_out, ej_out)
+            self.counters["ed_seconds"] += time.perf_counter() - t_start
+            return ed_out, ej_out
+
         Wp = self.w0
         while rest:
             next_round: List[int] = []
@@ -364,6 +383,49 @@ class PairEngine:
                 raise RuntimeError("band escalation failed to terminate")
         self.counters["ed_seconds"] += time.perf_counter() - t_start
         return ed_out, ej_out
+
+    def _ed_native(self, pairs, idxs, caps, hw_mode, ed_out, ej_out):
+        """CPU fast path: threaded C++ Myers (NW) / banded traceback (HW)."""
+        if hw_mode:
+            from ..native import hw_banded_traceback
+
+            for i in idxs:
+                a, b = pairs[i]
+                cap = int(caps[i])
+                band = 64
+                while True:
+                    res = hw_banded_traceback(a, b, band=band)
+                    if res is not None:
+                        d, _s0, e0, _ops = res
+                        ed_out[i] = d if d <= cap else -1
+                        ej_out[i] = e0 + 1
+                        break
+                    # uncertified at band B implies ed > B/2
+                    if band // 2 >= cap or band > 4 * max(len(a), len(b)):
+                        ed_out[i] = -1
+                        break
+                    band *= 2
+            return
+        from ..native import myers_ed_batch_k
+
+        Lmax = max(max(len(pairs[i][0]), len(pairs[i][1])) for i in idxs)
+        B = len(idxs)
+        q = np.full((B, Lmax), 5, dtype=np.uint8)
+        t = np.full((B, Lmax), 6, dtype=np.uint8)
+        qlen = np.zeros(B, dtype=np.int64)
+        tlen = np.zeros(B, dtype=np.int64)
+        ks = np.empty(B, dtype=np.int64)
+        for pos, i in enumerate(idxs):
+            a, b = pairs[i]
+            ea, eb = self._enc(a), self._enc(b)
+            q[pos, : len(ea)] = ea.view(np.uint8)
+            t[pos, : len(eb)] = eb.view(np.uint8)
+            qlen[pos], tlen[pos] = len(ea), len(eb)
+            ks[pos] = caps[i]
+        ed = myers_ed_batch_k(q, qlen, t, tlen, ks)
+        for pos, i in enumerate(idxs):
+            ed_out[i] = ed[pos]
+            ej_out[i] = tlen[pos]
 
     @staticmethod
     def _certified_floor(n: int, m: int, Wp: int, hw_mode: bool) -> int:
@@ -521,6 +583,11 @@ class PairEngine:
             bands[i] = max(256, int(2 ** math.ceil(math.log2(max(w, 64)))))
             todo.append(i)
 
+        if self.native_cpu and todo:
+            self._align_native(pairs, scores, todo, out)
+            self.counters["align_seconds"] += time.perf_counter() - t_start
+            return out  # type: ignore[return-value]
+
         while todo:
             next_round = []
             buckets: dict = {}
@@ -554,6 +621,29 @@ class PairEngine:
             todo = next_round
         self.counters["align_seconds"] += time.perf_counter() - t_start
         return out  # type: ignore[return-value]
+
+    def _align_native(self, pairs, scores, idxs, out):
+        """CPU fast path: threaded C++ full-DP affine SG with traceback
+        (native/affine_sg.cc, tie rules pinned to the oracle)."""
+        from ..native import affine_sg_batch
+
+        Lmax = max(max(len(pairs[i][0]), len(pairs[i][1])) for i in idxs)
+        B = len(idxs)
+        q = np.full((B, Lmax), 5, dtype=np.uint8)
+        t = np.full((B, Lmax), 6, dtype=np.uint8)
+        qlen = np.zeros(B, dtype=np.int64)
+        tlen = np.zeros(B, dtype=np.int64)
+        sc = np.zeros((B, 4), dtype=np.int64)
+        for pos, i in enumerate(idxs):
+            a, b = pairs[i]
+            ea, eb = self._enc(a), self._enc(b)
+            q[pos, : len(ea)] = ea.view(np.uint8)
+            t[pos, : len(eb)] = eb.view(np.uint8)
+            qlen[pos], tlen[pos] = len(ea), len(eb)
+            ma, mi, go, ge = scores[i]
+            sc[pos] = (ma, -abs(mi), go, ge)
+        outs = affine_sg_batch(q, qlen, t, tlen, sc)
+        self._collect_align(pairs, idxs, Lmax, 0, ("raw", outs), out, [], {})
 
     def _launch_align(self, pairs, scores, chunk, Lb, Wp, Bp=None):
         B = len(chunk)

@@ -16,7 +16,11 @@ from __future__ import annotations
 import re
 from typing import Dict, List, Sequence, Tuple
 
+import numpy as np
+
 from ..alnutils import read_errors_from_alignment
+
+_DASH = np.uint8(ord("-"))
 
 
 def get_variant_coordinates(
@@ -28,9 +32,11 @@ def get_variant_coordinates(
     variant_coords_c = {}
     alignment_c_to_t = {}
     alignment_t_to_c = {}
+    nd_t = _nondash_cumsum(aln_t)
+    nd_c = _nondash_cumsum(aln_c)
     for (i, p_t, p_c) in variants:
-        t_pos = sum(1 for n in aln_t[: i + 1] if n != "-") - 1
-        c_pos = sum(1 for n in aln_c[: i + 1] if n != "-") - 1
+        t_pos = int(nd_t[i]) - 1
+        c_pos = int(nd_c[i]) - 1
 
         if p_c == "-":  # deletion in candidate
             v = t_seq[t_pos]
@@ -75,9 +81,17 @@ def get_variant_coordinates(
     return variant_coords_t, variant_coords_c, alignment_c_to_t, alignment_t_to_c
 
 
-def _coord_map(aln: str) -> List[int]:
-    """seq position -> alignment column."""
-    return [j for j, n in enumerate(aln) if n != "-"]
+def _nondash_cumsum(aln: str) -> np.ndarray:
+    """#non-dash chars in aln[:k+1], per column k."""
+    arr = np.frombuffer(aln.encode("latin1"), dtype=np.uint8)
+    return np.cumsum(arr != _DASH)
+
+
+def _coord_map(aln: str) -> np.ndarray:
+    """seq position -> alignment column (vectorized: called per read per
+    edge on ~2-4 kb alignment strings)."""
+    arr = np.frombuffer(aln.encode("latin1"), dtype=np.uint8)
+    return np.flatnonzero(arr != _DASH)
 
 
 def get_support(
@@ -184,9 +198,10 @@ def get_read_ccs_probabilities_c(
     non_supportive = set()
     for read_acc, (aln_c, aln_read, _st) in read_alignments_to_c.items():
         cmap = _coord_map(aln_c)
+        nd_read = _nondash_cumsum(aln_read)
         prob = 1.0
         for i, (v_type, v_nucl, u_v) in variant_coords_c.items():
-            p = cmap[i]
+            p = int(cmap[i])
             match_c = (
                 aln_read[max(0, p - 1) : p + u_v + 1]
                 == aln_c[max(0, p - 1) : p + u_v + 1]
@@ -198,12 +213,12 @@ def get_read_ccs_probabilities_c(
                 match_t = aln_read[max(0, p - 1) : p + u_v + 1] == snippet_t
             assert not (match_c and match_t)
             if match_c:
-                read_coord = sum(1 for n in aln_read[: p + 1] if n != "-") - 1
+                read_coord = int(nd_read[p]) - 1
             elif match_t:
                 if v_type == "I":
-                    read_coord = sum(1 for n in aln_read[: p + 1] if n != "-")
+                    read_coord = int(nd_read[p])
                 else:
-                    read_coord = sum(1 for n in aln_read[: p + 1] if n != "-") - 1
+                    read_coord = int(nd_read[p]) - 1
             else:
                 non_supportive.add(read_acc)
                 prob = -1
@@ -229,9 +244,10 @@ def get_read_ccs_probabilities_t(
     non_supportive = set()
     for read_acc, (aln_t, aln_read, _st) in read_alignments_to_t.items():
         tmap = _coord_map(aln_t)
+        nd_read = _nondash_cumsum(aln_read)
         prob = 1.0
         for i, (v_type, v_nucl, u_v) in variant_coords_t.items():
-            p = tmap[i]
+            p = int(tmap[i])
             match_t = (
                 aln_read[max(0, p - 1) : p + u_v + 1]
                 == aln_t[max(0, p - 1) : p + u_v + 1]
@@ -243,14 +259,14 @@ def get_read_ccs_probabilities_t(
                 match_c = aln_read[max(0, p - 1) : p + u_v + 1] == snippet_c
             assert not (match_c and match_t)
             if match_t:
-                read_coord = sum(1 for n in aln_read[: p + 1] if n != "-") - 1
+                read_coord = int(nd_read[p]) - 1
             elif match_c:
                 if v_type == "D":
-                    read_coord = sum(1 for n in aln_read[: p + 1] if n != "-")
+                    read_coord = int(nd_read[p])
                 elif v_type == "I":
-                    read_coord = sum(1 for n in aln_read[: p + 1] if n != "-") - 2
+                    read_coord = int(nd_read[p]) - 2
                 else:
-                    read_coord = sum(1 for n in aln_read[: p + 1] if n != "-") - 1
+                    read_coord = int(nd_read[p]) - 1
             else:
                 non_supportive.add(read_acc)
                 prob = -1

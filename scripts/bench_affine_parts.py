@@ -61,72 +61,6 @@ r = full()
 np.asarray(r[0])
 timeit("pallas fwd+walk (full)", full)
 
-# fwd alone: replicate the setup from sg_align_with_ops_pallas
-import functools
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
-
-
-def fwd_only(qc, tc, qlen, tlen, ma, mi, go, ge):
-    CH = ap._chunk_len(Wp, L)
-    steps = 2 * L - 1
-    nchunks = -(-steps // CH)
-    per_ops_block = 128 // CH
-    nchunks = -(-nchunks // per_ops_block) * per_ops_block
-    S = nchunks * CH
-    P0q, P0t = ap._paddings(L, Wp)
-    pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
-    q = jnp.where(pos < qlen[:, None], qc.astype(jnp.int8), ap.QPAD)
-    t = jnp.where(pos < tlen[:, None], tc.astype(jnp.int8), ap.TPAD)
-    qe = jnp.repeat(q, 2, axis=1)[:, ::-1]
-    te = jnp.repeat(t, 2, axis=1)
-
-    def pad_to(x, left, cval):
-        total = left + x.shape[1]
-        right = (-total) % 128 + S - 2 * L + Wp + 384
-        return jnp.pad(x, ((0, 0), (left, right)), constant_values=cval)
-
-    QP = pad_to(qe, P0q, ap.QPAD)
-    TP = pad_to(te, P0t, ap.TPAD)
-    scal = lambda v: jnp.tile(v.astype(jnp.int32)[:, None], (1, ap.SCAL))
-    grid = (B // ap.BB, nchunks)
-    Wq = QP.shape[1]
-    Wt = TP.shape[1]
-    pair_block = lambda w: pl.BlockSpec((ap.BB, w), lambda i, c: (i, 0),
-                                        memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        functools.partial(ap._fwd_kernel, L=L, Wp=Wp, CH=CH, P0q=P0q,
-                          P0t=P0t),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, S * Wp), jnp.uint8),
-            jax.ShapeDtypeStruct((B, ap.SCAL), jnp.int32),
-            jax.ShapeDtypeStruct((B, ap.SCAL), jnp.int32),
-            jax.ShapeDtypeStruct((B, ap.SCAL), jnp.int32),
-        ),
-        grid=grid,
-        in_specs=[pair_block(Wq), pair_block(Wt)] + [pair_block(ap.SCAL)] * 6,
-        out_specs=(
-            pl.BlockSpec((ap.BB, CH * Wp), lambda i, c: (i, c),
-                         memory_space=pltpu.VMEM),
-            pair_block(ap.SCAL), pair_block(ap.SCAL), pair_block(ap.SCAL),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((ap.BB, Wp), jnp.int32),
-            pltpu.VMEM((ap.BB, Wp), jnp.int32),
-            pltpu.VMEM((ap.BB, Wp), jnp.int32),
-            pltpu.VMEM((ap.BB, Wp), jnp.int32),
-            pltpu.VMEM((ap.BB, Wp + 128), jnp.int32),
-            pltpu.VMEM((ap.BB, Wp + 128), jnp.int32),
-            pltpu.VMEM((ap.BB, ap.SCAL), jnp.int32),
-        ],
-    )(QP, TP, scal(qlen), scal(tlen), scal(ma), scal(mi), scal(go), scal(ge))
-
-
-fwd_j = jax.jit(fwd_only)
-r = fwd_j(qc, tc, qlen, tlen, ma, mi, go, ge)
-np.asarray(r[1])
-timeit("pallas fwd only", lambda: fwd_j(qc, tc, qlen, tlen, ma, mi, go, ge))
-
 # lax.scan reference
 scan = lambda: sg_align_with_ops(qc, tc, qlen, tlen, ma, mi, go, ge, Wp=Wp, L=L)
 r = scan()

@@ -7,8 +7,8 @@ These tests instead pin isocon_tpu's OWN output on the real 2 kb data as a
 committed snapshot (``tests/golden/``): any semantic drift anywhere in the
 9-module pipeline changes the candidate set and fails.
 
-They take minutes on CPU, so they only run when ISOCON_RUN_SLOW=1
-(the driver / pre-release runs set it; the default suite stays fast).
+With the native C++ CPU fast path the n_200 runs take ~10 s each and run
+in the default suite; the larger n_500 one stays behind ISOCON_RUN_SLOW=1.
 Regenerate the snapshots with scripts/regen_golden.sh after an
 *intentional* semantic change.
 """
@@ -38,7 +38,6 @@ def support_and_seqs(path):
     return sorted(out)
 
 
-@slow
 def test_n200_get_candidates_matches_golden(tmp_path):
     out = str(tmp_path / "out")
     cli_main([
@@ -52,7 +51,6 @@ def test_n200_get_candidates_matches_golden(tmp_path):
     assert got == want
 
 
-@slow
 def test_n200_pipeline_matches_golden(tmp_path):
     out = str(tmp_path / "out")
     cli_main([

@@ -188,3 +188,77 @@ def test_correct_strings_quality_variant():
     )
     assert got == {"r1": center}
     assert len(got_qual["r1"]) == len(center)
+
+
+def test_dense_mam_matches_reference_impl():
+    """Dense numpy MAM rows == per-string MAM rows on random partitions."""
+    import numpy as np
+
+    from isocon_tpu.correct.dense import build_dense_mam
+
+    rng = random.Random(7)
+    for trial in range(20):
+        center = "".join(rng.choice("ACGT") for _ in range(rng.randrange(30, 90)))
+        members = []
+        for _ in range(rng.randrange(2, 7)):
+            s = list(center)
+            for _ in range(rng.randrange(0, 6)):
+                p = rng.randrange(len(s))
+                op = rng.choice("SIID")  # insertion-heavy: stresses slots
+                if op == "S":
+                    s[p] = rng.choice("ACGT")
+                elif op == "I":
+                    s.insert(p, rng.choice("ACGT"))
+                elif len(s) > 2:
+                    del s[p]
+            members.append(("".join(s), rng.randrange(1, 3)))
+        part = _make_partition(center, members)
+        want = create_multialignment_matrix(center, part)
+        accs, mat, degs = build_dense_mam(center, part)
+        assert sorted(want) == accs
+        for k, acc in enumerate(accs):
+            assert mat[k].tobytes().decode() == "".join(want[acc]), (
+                trial, acc,
+            )
+        # PFM equality
+        from isocon_tpu.correct.dense import dense_pfm
+        from isocon_tpu.correct.mam import create_position_frequency_matrix
+
+        pfm = create_position_frequency_matrix(want, part)
+        dpfm = dense_pfm(mat, degs)
+        for j, col in enumerate(pfm):
+            for ci, ch in enumerate("ACGT-"):
+                assert col[ch] == dpfm[j][ci], (trial, j, ch)
+
+
+def test_dense_correction_matches_oracle():
+    """correct_to_consensus dense path == per-string oracle on random
+    partitions (decision-level equality incl. tie extension)."""
+    import os
+
+    from isocon_tpu.correct.consensus import _correct_to_consensus_oracle
+    from isocon_tpu.correct.dense import correct_to_consensus_dense
+
+    rng = random.Random(11)
+    for trial in range(15):
+        center = "".join(rng.choice("ACGT") for _ in range(rng.randrange(40, 100)))
+        members = []
+        n_mem = rng.randrange(2, 8)
+        for _ in range(n_mem):
+            s = list(center)
+            for _ in range(rng.randrange(0, 7)):
+                p = rng.randrange(len(s))
+                op = rng.choice("SSID")
+                if op == "S":
+                    s[p] = rng.choice("ACGT")
+                elif op == "I":
+                    s.insert(p, rng.choice("ACGT"))
+                elif len(s) > 2:
+                    del s[p]
+            members.append(("".join(s), rng.choice([1, 1, 1, 2, 3])))
+        part = _make_partition(center, members)
+        part[center] = (0, center, center, rng.choice([1, 2]))
+        seq_to_acc = {s: ["acc_%d" % i] for i, s in enumerate(part)}
+        want = _correct_to_consensus_oracle(center, part, seq_to_acc, 1)
+        got = correct_to_consensus_dense(center, part, seq_to_acc)
+        assert got == want, (trial, got, want)

@@ -1,0 +1,109 @@
+"""The native C++ CPU fast path must be bit-identical to the kernel path.
+
+The engine dispatches to native/{myers_ed,affine_sg,traceback}.cc when the
+backend is CPU; ISOCON_NO_NATIVE=1 forces the lax.scan kernels.  Both must
+produce the same distances, endpoints and aligned strings (both are
+pinned to the numpy oracle independently -- this test closes the
+triangle at the engine level, band escalation included).
+"""
+import random
+
+import numpy as np
+import pytest
+
+from isocon_tpu.native import native_available
+from isocon_tpu.ops import oracle
+from isocon_tpu.ops.engine import PairEngine
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="no C++ toolchain"
+)
+
+
+def rand_seq(rng, n):
+    return "".join(rng.choice("ACGT") for _ in range(n))
+
+
+def mutate(rng, s, k):
+    s = list(s)
+    for _ in range(k):
+        op = rng.choice("SID")
+        p = rng.randrange(len(s))
+        if op == "S":
+            s[p] = rng.choice("ACGT")
+        elif op == "I":
+            s.insert(p, rng.choice("ACGT"))
+        elif len(s) > 1:
+            del s[p]
+    return "".join(s)
+
+
+@pytest.fixture(scope="module")
+def pair_set():
+    rng = random.Random(3)
+    pairs = []
+    for _ in range(30):
+        a = rand_seq(rng, rng.randrange(50, 300))
+        b = mutate(rng, a, rng.randrange(0, 25))
+        pairs.append((a, b))
+    # unrelated pair (huge distance) and identical pair
+    pairs.append((rand_seq(rng, 120), rand_seq(rng, 150)))
+    pairs.append((pairs[0][0], pairs[0][0]))
+    return pairs
+
+
+def kernel_engine():
+    import os
+
+    os.environ["ISOCON_NO_NATIVE"] = "1"
+    try:
+        eng = PairEngine(batch_pairs=16)
+    finally:
+        del os.environ["ISOCON_NO_NATIVE"]
+    assert not eng.native_cpu
+    return eng
+
+
+def test_native_ed_matches_kernels_and_oracle(pair_set):
+    nat = PairEngine(batch_pairs=16)
+    assert nat.native_cpu
+    ker = kernel_engine()
+    ed_n, ej_n = nat.edit_distances(pair_set)
+    ed_k, ej_k = ker.edit_distances(pair_set)
+    assert (ed_n == ed_k).all()
+    assert (ej_n == ej_k).all()
+    for (a, b), d in zip(pair_set, ed_n):
+        assert d == oracle.edit_distance(a, b)
+
+
+def test_native_ed_k_cap(pair_set):
+    nat = PairEngine(batch_pairs=16)
+    caps = [5] * len(pair_set)
+    ed, _ = nat.edit_distances(pair_set, k_cap=caps)
+    for (a, b), d in zip(pair_set, ed):
+        true = oracle.edit_distance(a, b)
+        assert d == (true if true <= 5 else -1)
+
+
+def test_native_hw_matches_kernels(pair_set):
+    nat = PairEngine(batch_pairs=16)
+    ker = kernel_engine()
+    caps = [30] * len(pair_set)
+    ed_n, ej_n = nat.edit_distances(pair_set, k_cap=caps, hw_mode=True)
+    ed_k, ej_k = ker.edit_distances(pair_set, k_cap=caps, hw_mode=True)
+    assert (ed_n == ed_k).all()
+    # end_j only meaningful where a distance was reported
+    assert (ej_n[ed_n >= 0] == ej_k[ed_n >= 0]).all()
+
+
+def test_native_align_matches_kernels(pair_set):
+    nat = PairEngine(batch_pairs=16)
+    ker = kernel_engine()
+    schedules = [(2, -2, 2, 0), (2, -3, 3, 1), (2, -4, 2, 0)]
+    scores = [schedules[i % 3] for i in range(len(pair_set))]
+    a_n = nat.align_pairs(pair_set, scores)
+    a_k = ker.align_pairs(pair_set, scores)
+    assert a_n == a_k
+    # spot-check the triple against the oracle
+    for (a, b), (ma, mi, go, ge), got in list(zip(pair_set, scores, a_n))[:8]:
+        assert got == oracle.align_semi_global(a, b, ma, mi, go, ge)
