@@ -12,8 +12,10 @@ import shutil
 import sys
 from time import time
 
+import contextlib
+
 from .io import read_fasta, read_fastx
-from .io.output import logger, print_candidates
+from .io.output import devlog, logger, print_candidates
 from .ops.engine import PairEngine
 from .params import Params
 from .pipeline.candidates import find_candidate_transcripts
@@ -69,33 +71,60 @@ def make_engine(params) -> PairEngine:
     return PairEngine(batch_pairs=params.batch_pairs, sharder=sharder)
 
 
+@contextlib.contextmanager
+def maybe_profile(params):
+    """Capture a JAX profiler (xprof) trace of the run under --profile.
+
+    The trace splits on-device kernel time from host/transfer time — the
+    rebuild's structured analog of the reference's wall-clock phase timers
+    (SURVEY.md §5 tracing row).  View with xprof/tensorboard.
+    """
+    if not getattr(params, "profile", False):
+        yield
+        return
+    import jax
+
+    trace_dir = os.path.join(params.outfolder, "jax_trace")
+    jax.profiler.start_trace(trace_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+        logger("JAX profiler trace written to {0}".format(trace_dir),
+               params.logfile)
+
+
 def run_pipeline(params) -> None:
     total_start = time()
     initialize_logger(params)
     params.read_file = params.fl_reads
     engine = make_engine(params)
 
-    t0 = time()
-    candidate_file, read_partition, to_realign = find_candidate_transcripts(
-        params.read_file, params, engine
-    )
-    logger(
-        "TIME ELAPSED FOR FINDING CANDIDATES WITH nearest_neighborS:{0}".format(
-            time() - t0
-        ),
-        params.logfile,
-    )
-    logger(engine.stats_line(), params.logfile)
-    t1 = time()
-    stat_filter_candidates(
-        params.read_file, candidate_file, read_partition, to_realign, params,
-        engine,
-    )
-    logger(
-        "TIME ELAPSED FOR STATISTICAL TEST OF CANDIDATES:{0}".format(time() - t1),
-        params.logfile,
-    )
-    logger(engine.stats_line(), params.logfile)
+    with maybe_profile(params):
+        t0 = time()
+        candidate_file, read_partition, to_realign = find_candidate_transcripts(
+            params.read_file, params, engine
+        )
+        logger(
+            "TIME ELAPSED FOR FINDING CANDIDATES WITH nearest_neighborS:{0}".format(
+                time() - t0
+            ),
+            params.logfile,
+        )
+        logger(engine.stats_line(), params.logfile)
+        devlog(params, "phase1 " + engine.stats_line())
+        t1 = time()
+        stat_filter_candidates(
+            params.read_file, candidate_file, read_partition, to_realign,
+            params, engine,
+        )
+        logger(
+            "TIME ELAPSED FOR STATISTICAL TEST OF CANDIDATES:{0}".format(
+                time() - t1),
+            params.logfile,
+        )
+        logger(engine.stats_line(), params.logfile)
+        devlog(params, "phase2 " + engine.stats_line())
     if params.cleanup:
         clean_dir(params)
     logger("TOTAL TIME ELAPSED FOR IsoCon:{0}".format(time() - total_start),
@@ -107,7 +136,9 @@ def run_get_candidates(params) -> None:
     initialize_logger(params)
     params.read_file = params.fl_reads
     engine = make_engine(params)
-    find_candidate_transcripts(params.read_file, params, engine)
+    with maybe_profile(params):
+        find_candidate_transcripts(params.read_file, params, engine)
+    devlog(params, "phase1 " + engine.stats_line())
     logger(
         "TOTAL TIME ELAPSED FOR nearest_neighbor APPROACH:{0}".format(
             time() - total_start
@@ -147,10 +178,12 @@ def run_stat_filter(params) -> None:
     else:
         to_realign = {acc: seq for acc, seq in read_fasta(params.fl_reads)}
     read_partition = {acc: {} for acc, _ in read_fasta(params.candidates)}
-    stat_filter_candidates(
-        params.fl_reads, params.candidates, read_partition, to_realign,
-        params, engine,
-    )
+    with maybe_profile(params):
+        stat_filter_candidates(
+            params.fl_reads, params.candidates, read_partition, to_realign,
+            params, engine,
+        )
+    devlog(params, "stat_filter " + engine.stats_line())
     if params.cleanup:
         clean_dir(params)
     logger("TOTAL TIME ELAPSED FOR STAT_FILTER:{0}".format(time() - total_start),
@@ -173,6 +206,9 @@ def _add_common(p, with_stats: bool) -> None:
     p.add_argument("--nontargeted", action="store_true",
                    help="approximate sketch-retrieval candidate search "
                         "(the reference's minimap mode)")
+    p.add_argument("--profile", action="store_true",
+                   help="capture a JAX profiler (xprof) trace of the run "
+                        "into <outfolder>/jax_trace")
     if with_stats:
         p.add_argument("--p_value_threshold", type=float, default=0.01)
         p.add_argument("--min_test_ratio", type=int, default=5)

@@ -16,6 +16,12 @@ def logger(message: str, logfile, timestamp: bool = True) -> None:
     logfile.flush()
 
 
+def devlog(params, message: str) -> None:
+    """Developer log under ``--verbose`` (the reference's develop_logfile,
+    ``IsoCon:284``); no-op otherwise."""
+    logger(message, getattr(params, "develop_logfile", None))
+
+
 def print_candidates_from_nearest_neighbors(path: str, C: Dict[str, str]) -> None:
     """Phase-1 candidate fasta, sorted by accession
     (``write_output.py:47-60``)."""

@@ -474,6 +474,10 @@ def sg_align_pool_pallas(pool_flat, plen, ia, ib, match, mismatch, gopen,
     backward opcode stream is packed 4 opcodes/byte (exactly 2 bits each:
     NONE/DIAG/GAPQ/GAPT), so a pair costs ~S/4 bytes of down-transfer
     instead of 2L up + S down.  Unpack with ``unpack_ops``.
+
+    Returns (scal, packed): scal is [6, B] int32 stacking
+    (best, ei, ej, fi, fj, overflow) -- one bulk transfer instead of six
+    per-array round trips over the host link (each ~25 ms RTT).
     """
     U = pool_flat.shape[0] // L
     pool = pool_flat.reshape(U, L)
@@ -488,7 +492,10 @@ def sg_align_pool_pallas(pool_flat, plen, ia, ib, match, mismatch, gopen,
     packed = ops.reshape(ops.shape[0], S // 4, 4).astype(jnp.uint32)
     shifts = jnp.arange(4, dtype=jnp.uint32) * 2
     packed = jnp.sum(packed << shifts[None, None, :], axis=2).astype(jnp.uint8)
-    return best, ei, ej, packed, fi, fj, overflow
+    scal = jnp.stack(
+        [best, ei, ej, fi, fj, overflow.astype(jnp.int32)]
+    ).astype(jnp.int32)
+    return scal, packed
 
 
 def unpack_ops(packed: np.ndarray) -> np.ndarray:

@@ -126,7 +126,7 @@ class _SeqPool:
         self.version += 1
         return self.rows[seq]
 
-    def device_arrays(self):
+    def device_arrays(self, sharding=None):
         import jax
 
         # coarse padding steps (x4 from 4096): every distinct R is a new
@@ -160,14 +160,16 @@ class _SeqPool:
                     )
                 else:
                     flat = jax.device_put(
-                        np.ascontiguousarray(self.mat[:R]).reshape(-1)
+                        np.ascontiguousarray(self.mat[:R]).reshape(-1),
+                        sharding,
                     )
             else:
                 flat = jax.device_put(
-                    np.ascontiguousarray(self.mat[:R]).reshape(-1)
+                    np.ascontiguousarray(self.mat[:R]).reshape(-1), sharding
                 )
             self._dev = (
-                self.version, R, flat, jax.device_put(self.lens[:R]),
+                self.version, R, flat,
+                jax.device_put(self.lens[:R], sharding),
             )
             self._dev_rows = self.n
         return self._dev[2], self._dev[3]
@@ -218,6 +220,9 @@ class PairEngine:
         self.myers_sub = 16 if ed_batch >= 2048 else (
             ed_batch // 128 if ed_batch % 128 == 0 else 0
         )
+        # smallest padded length for the Pallas buckets (collapsing buckets
+        # bounds the compiled-shape set; tests shrink it for interpret mode)
+        self.pallas_L0 = 2048
         self._enc_cache: dict = {}
         self._pools: dict = {}  # L bucket -> _SeqPool (device-resident)
         # cumulative per-op wall-clock + volume counters (the rebuild's
@@ -317,7 +322,7 @@ class PairEngine:
                 a, b = pairs[i]
                 ln = max(len(a), len(b))
                 if myers_ok:
-                    Lb = 2048
+                    Lb = self.pallas_L0
                     while Lb < ln:
                         Lb *= 2
                 else:
@@ -441,12 +446,16 @@ class PairEngine:
             return -1
         return min(2 * o_hi - delta, -2 * o_lo + delta)
 
+    def _pool_sharding(self):
+        return (self.sharder.replicated_sharding()
+                if self.sharder is not None else None)
+
     def _launch_batch(self, pairs, chunk, Lb, Wp, hw_mode):
         B = len(chunk)
         # VMEM cap: text + peq blocks double-buffer across grid steps, so
         # L*sub is bounded (L=2048 @ sub=16 ~ 14 MB is the known-good max)
         sub_L = min(self.myers_sub, max(32768 // Lb, 1))
-        myers_path = (self.use_pallas and self.sharder is None
+        myers_path = (self.use_pallas
                       and sub_L >= 4 and not hw_mode and Wp == 128
                       and Lb >= 256 and Lb % 32 == 0)
         if myers_path:
@@ -474,6 +483,9 @@ class PairEngine:
             if nblk > 1:
                 nblk = 8 if nblk <= 8 else max_blk
             nblk = min(nblk, max_blk)
+            if self.sharder is not None:
+                # every device must receive whole kernel blocks
+                nblk = -(-nblk // self.sharder.n) * self.sharder.n
             Bp = nblk * blk
             if B < Bp:
                 # pad with (row 0, row 0) pairs: ed 0, trivially certified
@@ -481,10 +493,14 @@ class PairEngine:
                 ib = np.pad(ib, (0, Bp - B))
                 qlen = np.pad(qlen, (0, Bp - B), constant_values=1)
                 tlen = np.pad(tlen, (0, Bp - B), constant_values=1)
-            from .myers_pallas import myers_ed_pool
+            dev_mat, dev_lens = pool.device_arrays(self._pool_sharding())
+            if self.sharder is not None:
+                ed = self.sharder.myers_ed_pool(dev_mat, dev_lens, ia, ib,
+                                                L=Lb, sub=sub_L)
+            else:
+                from .myers_pallas import myers_ed_pool
 
-            dev_mat, dev_lens = pool.device_arrays()
-            ed = myers_ed_pool(dev_mat, dev_lens, ia, ib, L=Lb, sub=sub_L)
+                ed = myers_ed_pool(dev_mat, dev_lens, ia, ib, L=Lb, sub=sub_L)
             return ("myers", False), B, ed, tlen, qlen, tlen
 
         q = np.full((B, Lb), 5, dtype=np.int8)
@@ -595,7 +611,7 @@ class PairEngine:
                 a, b = pairs[i]
                 ln = max(len(a), len(b))
                 if self.use_pallas:
-                    Lb = 2048
+                    Lb = self.pallas_L0
                     while Lb < ln:
                         Lb *= 2
                 else:
@@ -608,6 +624,10 @@ class PairEngine:
                 cap = int(2e9 // (2 * Lb * Wp))
                 bchunk = max(128, min(self.batch_pairs,
                                       1 << max(7, cap.bit_length() - 1)))
+                if self.sharder is not None:
+                    # per-shard batches must satisfy the kernel's B % 128
+                    grain = 128 * self.sharder.n
+                    bchunk = -(-bchunk // grain) * grain
                 for s in range(0, len(idxs), bchunk):
                     chunk = idxs[s : s + bchunk]
                     launched.append(
@@ -649,8 +669,10 @@ class PairEngine:
         B = len(chunk)
         if Bp is None:
             Bp = self.batch_pairs
-        if (self.use_pallas and self.sharder is None and Wp % 128 == 0
-                and Wp >= 256 and Lb % 64 == 0 and Bp % 128 == 0):
+        if (self.use_pallas and Wp % 128 == 0
+                and Wp >= 256 and Lb % 64 == 0 and Bp % 128 == 0
+                and (self.sharder is None
+                     or Bp % (128 * self.sharder.n) == 0)):
             # pooled Pallas path: gather sequences on device, return packed
             # 2-bit opcodes (the host link is the bottleneck, ~8 KB/pair
             # otherwise)
@@ -669,11 +691,15 @@ class PairEngine:
                 ib[pos] = pool.intern(b, self._enc)
                 m_, x_, o_, e_ = scores[i]
                 ma[pos], mi[pos], go[pos], ge[pos] = m_, -abs(x_), o_, e_
-            from .affine_pallas import sg_align_pool_pallas
+            dev_mat, dev_lens = pool.device_arrays(self._pool_sharding())
+            if self.sharder is not None:
+                outs = self.sharder.sg_align_pool(
+                    dev_mat, dev_lens, ia, ib, ma, mi, go, ge, Wp=Wp, L=Lb)
+            else:
+                from .affine_pallas import sg_align_pool_pallas
 
-            dev_mat, dev_lens = pool.device_arrays()
-            outs = sg_align_pool_pallas(
-                dev_mat, dev_lens, ia, ib, ma, mi, go, ge, Wp=Wp, L=Lb)
+                outs = sg_align_pool_pallas(
+                    dev_mat, dev_lens, ia, ib, ma, mi, go, ge, Wp=Wp, L=Lb)
             return ("pallas", tuple(outs))
         q = np.full((Bp, Lb), 5, dtype=np.int8)
         t = np.full((Bp, Lb), 6, dtype=np.int8)
@@ -702,18 +728,22 @@ class PairEngine:
     def _collect_align(self, pairs, chunk, Lb, Wp, handle, out, next_round,
                        bands):
         kind, outs = handle  # every launch path tags its handle explicitly
-        packed = kind == "pallas"
-        best, ei, ej, ops, fi, fj, overflow = outs
-        ei = np.asarray(ei)
-        ej = np.asarray(ej)
-        ops = np.asarray(ops)
-        if packed:
+        if kind == "pallas":
+            # two bulk transfers: [6, B] int32 scalars + packed opcodes
             from .affine_pallas import unpack_ops
 
-            ops = unpack_ops(ops)
-        fi = np.asarray(fi)
-        fj = np.asarray(fj)
-        overflow = np.asarray(overflow)
+            scal, packed = outs
+            scal = np.asarray(scal)
+            _best, ei, ej, fi, fj, overflow = scal
+            ops = unpack_ops(np.asarray(packed))
+        else:
+            _best, ei, ej, ops, fi, fj, overflow = outs
+            ei = np.asarray(ei)
+            ej = np.asarray(ej)
+            ops = np.asarray(ops)
+            fi = np.asarray(fi)
+            fj = np.asarray(fj)
+            overflow = np.asarray(overflow)
         for pos, i in enumerate(chunk):
             a, b = pairs[i]
             if overflow[pos]:

@@ -27,12 +27,78 @@ from ..ops.wavefront import banded_ed
 
 
 class Sharder:
-    """Runs engine batches sharded over a 1-D device mesh."""
+    """Runs engine batches sharded over a 1-D device mesh.
 
-    def __init__(self, mesh):
+    ``interpret`` threads through to the Pallas fast paths: on the CPU
+    backend (tests, dryrun) the TPU kernels run in interpret mode, so the
+    sharded pooled paths are exercised without hardware.
+    """
+
+    def __init__(self, mesh, interpret=None):
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
         self.n = mesh.devices.size
+        if interpret is None:
+            interpret = jax.default_backend() == "cpu"
+        self.interpret = interpret
+        self._jits = {}  # (kind, static...) -> jitted sharded fn
+
+    def replicated_sharding(self):
+        """Placement for engine pools: replicated over the mesh, so every
+        device gathers pair rows locally (the pool is small next to HBM and
+        read-only within a round)."""
+        from jax.sharding import NamedSharding
+
+        return NamedSharding(self.mesh, P())
+
+    def myers_ed_pool(self, pool_flat, plen, ia, ib, *, L: int, sub: int):
+        """Pool-gather bit-parallel Myers ED, pair axis sharded over the
+        mesh (pool replicated; only int32 indices are sharded)."""
+        key = ("myers_pool", L, sub)
+        fn = self._jits.get(key)
+        if fn is None:
+            from ..ops.myers_pallas import myers_ed_pool
+
+            interp = self.interpret
+
+            @functools.partial(
+                shard_map, mesh=self.mesh,
+                in_specs=(P(), P(), P(self.axis), P(self.axis)),
+                out_specs=P(self.axis), check_rep=False,
+            )
+            def run(pf, pl_, ias, ibs):
+                return myers_ed_pool(pf, pl_, ias, ibs, L=L, sub=sub,
+                                     interpret=interp)
+
+            fn = self._jits[key] = jax.jit(run)
+        assert ia.shape[0] % self.n == 0
+        return fn(pool_flat, plen, ia, ib)
+
+    def sg_align_pool(self, pool_flat, plen, ia, ib, ma, mi, go, ge,
+                      *, Wp: int, L: int):
+        """Pooled Pallas affine SG alignment (packed opcodes), pair axis
+        sharded; per-shard batch must satisfy the kernel's B % 128 == 0."""
+        key = ("affine_pool", Wp, L)
+        fn = self._jits.get(key)
+        if fn is None:
+            from ..ops.affine_pallas import sg_align_pool_pallas
+
+            interp = self.interpret
+
+            @functools.partial(
+                shard_map, mesh=self.mesh,
+                in_specs=(P(), P()) + tuple([P(self.axis)] * 6),
+                out_specs=(P(None, self.axis), P(self.axis)),
+                check_rep=False,
+            )
+            def run(pf, pl_, ias, ibs, mas, mis, gos, ges):
+                return sg_align_pool_pallas(pf, pl_, ias, ibs, mas, mis,
+                                            gos, ges, Wp=Wp, L=L,
+                                            interpret=interp)
+
+            fn = self._jits[key] = jax.jit(run)
+        assert ia.shape[0] % (128 * self.n) == 0
+        return fn(pool_flat, plen, ia, ib, ma, mi, go, ge)
 
     def _pad(self, arr, B_pad):
         if arr.shape[0] == B_pad:
@@ -47,18 +113,24 @@ class Sharder:
         q, t = self._pad(q, B_pad), self._pad(t, B_pad)
         qlen, tlen = self._pad(qlen, B_pad), self._pad(tlen, B_pad)
 
-        @functools.partial(
-            shard_map,
-            mesh=self.mesh,
-            in_specs=(P(self.axis), P(self.axis), P(self.axis), P(self.axis)),
-            out_specs=(P(self.axis), P(self.axis)),
-            check_rep=False,
-        )
-        def run(qs, ts, qls, tls):
-            return banded_ed(qs, ts, qls, tls, Wp=Wp, L=L, hw_mode=hw_mode,
-                             small=small)
+        key = ("banded_ed", Wp, L, hw_mode, small)
+        fn = self._jits.get(key)
+        if fn is None:
 
-        ed, ej = jax.jit(run)(q, t, qlen, tlen)
+            @functools.partial(
+                shard_map,
+                mesh=self.mesh,
+                in_specs=(P(self.axis), P(self.axis), P(self.axis),
+                          P(self.axis)),
+                out_specs=(P(self.axis), P(self.axis)),
+                check_rep=False,
+            )
+            def run(qs, ts, qls, tls):
+                return banded_ed(qs, ts, qls, tls, Wp=Wp, L=L,
+                                 hw_mode=hw_mode, small=small)
+
+            fn = self._jits[key] = jax.jit(run)
+        ed, ej = fn(q, t, qlen, tlen)
         return np.asarray(ed)[:B], np.asarray(ej)[:B]
 
     def banded_sg_align(self, q, t, qlen, tlen, ma, mi, go, ge, *, Wp: int, L: int):
@@ -69,18 +141,23 @@ class Sharder:
         ma, mi = self._pad(ma, B_pad), self._pad(mi, B_pad)
         go, ge = self._pad(go, B_pad), self._pad(ge, B_pad)
 
-        @functools.partial(
-            shard_map,
-            mesh=self.mesh,
-            in_specs=tuple([P(self.axis)] * 8),
-            out_specs=tuple([P(self.axis)] * 4),
-            check_rep=False,
-        )
-        def run(qs, ts, qls, tls, mas, mis, gos, ges):
-            return banded_sg_align(qs, ts, qls, tls, mas, mis, gos, ges,
-                                   Wp=Wp, L=L)
+        key = ("banded_sg_align", Wp, L)
+        fn = self._jits.get(key)
+        if fn is None:
 
-        best, ei, ej, dirs = jax.jit(run)(q, t, qlen, tlen, ma, mi, go, ge)
+            @functools.partial(
+                shard_map,
+                mesh=self.mesh,
+                in_specs=tuple([P(self.axis)] * 8),
+                out_specs=tuple([P(self.axis)] * 4),
+                check_rep=False,
+            )
+            def run(qs, ts, qls, tls, mas, mis, gos, ges):
+                return banded_sg_align(qs, ts, qls, tls, mas, mis, gos, ges,
+                                       Wp=Wp, L=L)
+
+            fn = self._jits[key] = jax.jit(run)
+        best, ei, ej, dirs = fn(q, t, qlen, tlen, ma, mi, go, ge)
         return (np.asarray(best)[:B], np.asarray(ei)[:B], np.asarray(ej)[:B],
                 np.asarray(dirs)[:B])
 
@@ -95,18 +172,23 @@ class Sharder:
         ma, mi = self._pad(ma, B_pad), self._pad(mi, B_pad)
         go, ge = self._pad(go, B_pad), self._pad(ge, B_pad)
 
-        @functools.partial(
-            shard_map,
-            mesh=self.mesh,
-            in_specs=tuple([P(self.axis)] * 8),
-            out_specs=tuple([P(self.axis)] * 7),
-            check_rep=False,
-        )
-        def run(qs, ts, qls, tls, mas, mis, gos, ges):
-            return sg_align_with_ops(qs, ts, qls, tls, mas, mis, gos, ges,
-                                     Wp=Wp, L=L)
+        key = ("sg_align_with_ops", Wp, L)
+        fn = self._jits.get(key)
+        if fn is None:
 
-        outs = jax.jit(run)(q, t, qlen, tlen, ma, mi, go, ge)
+            @functools.partial(
+                shard_map,
+                mesh=self.mesh,
+                in_specs=tuple([P(self.axis)] * 8),
+                out_specs=tuple([P(self.axis)] * 7),
+                check_rep=False,
+            )
+            def run(qs, ts, qls, tls, mas, mis, gos, ges):
+                return sg_align_with_ops(qs, ts, qls, tls, mas, mis, gos,
+                                         ges, Wp=Wp, L=L)
+
+            fn = self._jits[key] = jax.jit(run)
+        outs = fn(q, t, qlen, tlen, ma, mi, go, ge)
         return tuple(np.asarray(o)[:B] for o in outs)
 
 

@@ -33,6 +33,7 @@ class Params:
     prefilter_candidates: bool = False   # declared but inert in the reference too
     ccs: Optional[str] = None            # BAM/SAM with CCS predictions
     nontargeted: bool = False            # sketch-prefilter approximate NN mode
+    profile: bool = False                # capture a JAX profiler trace
 
     # derived at runtime
     is_fastq: bool = False
@@ -52,6 +53,14 @@ class Params:
     def ensure_outfolder(self) -> None:
         if self.outfolder and not os.path.exists(self.outfolder):
             os.makedirs(self.outfolder)
+        if self.verbose:
+            # developer log + plots dir under --verbose (IsoCon:280-284)
+            self.plotfolder = os.path.join(self.outfolder, "plots")
+            if not os.path.exists(self.plotfolder):
+                os.makedirs(self.plotfolder)
+            self.develop_logfile = open(
+                os.path.join(self.outfolder, "develop_logfile.txt"), "w"
+            )
         self.tempfolder = os.path.join(self.outfolder, "alignments")
         if not os.path.exists(self.tempfolder):
             os.makedirs(self.tempfolder)

@@ -49,9 +49,9 @@ def partition_strings(S: Dict[str, str], params, engine):
     if getattr(params, "nontargeted", False):
         # approximate sketch-retrieval path (the reference's dormant minimap
         # mode, graphs.py:85-149)
-        from .sketch_glue import approximate_nn
+        from ..graph.sketch import approximate_nn_graph
 
-        nn = approximate_nn(unique_seqs, conv_mask, engine)
+        nn = approximate_nn_graph(unique_seqs, conv_mask, engine)
     else:
         nn = nearest_neighbors(
             unique_seqs, conv_mask, engine,

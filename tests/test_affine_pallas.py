@@ -103,8 +103,9 @@ def test_affine_pool_packed_matches():
     ref = sg_align_with_ops_pallas(q, t, qlen, tlen, ma, mi, go, ge,
                                    Wp=Wp, L=L, interpret=True)
     r = [np.asarray(x) for x in ref]
-    g = [np.asarray(x) for x in got]
-    ops_unpacked = unpack_ops(g[3])
+    scal = np.asarray(got[0])
+    ops_unpacked = unpack_ops(np.asarray(got[1]))
     np.testing.assert_array_equal(ops_unpacked, r[3])
-    for k in (0, 1, 2, 4, 5, 6):
-        np.testing.assert_array_equal(g[k], r[k])
+    # scal rows: best, ei, ej, fi, fj, overflow
+    for row, k in zip(range(6), (0, 1, 2, 4, 5, 6)):
+        np.testing.assert_array_equal(scal[row], r[k].astype(np.int32))

@@ -57,6 +57,41 @@ def test_sharded_engine_matches_local():
     assert a1 == a2
 
 
+needs_2_devices = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs 2 virtual devices"
+)
+
+
+@needs_2_devices
+def test_sharded_pallas_pool_paths():
+    """The pooled Pallas fast paths (Myers ED + affine SG) run under a
+    shard_map mesh (interpret mode on CPU) and match the local engine."""
+    from isocon_tpu.parallel.mesh import make_mesh
+    from isocon_tpu.parallel.sharding import Sharder
+
+    rng = random.Random(3)
+    pairs = []
+    for _ in range(40):
+        a = rand_seq(rng, rng.randrange(150, 250))
+        b = mutate(rng, a, rng.randrange(0, 12))
+        pairs.append((a, b))
+
+    sharded = PairEngine(batch_pairs=128, sharder=Sharder(make_mesh(2)),
+                         use_pallas=True, ed_batch=512)
+    sharded.pallas_L0 = 256   # keep interpret-mode shapes small
+    sharded.batch_pairs = 256
+    local = PairEngine(batch_pairs=16)
+
+    ed1, _ = local.edit_distances(pairs)
+    ed2, _ = sharded.edit_distances(pairs)
+    np.testing.assert_array_equal(ed1, ed2)
+
+    scores = [(2, -2, 2, 0)] * len(pairs)
+    a1 = local.align_pairs(pairs, scores)
+    a2 = sharded.align_pairs(pairs, scores)
+    assert a1 == a2
+
+
 def _noisy_copy(rng, s, error_rate):
     out = []
     for ch in s:
