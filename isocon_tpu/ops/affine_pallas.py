@@ -102,6 +102,15 @@ def _fwd_kernel(winq_ref, wint_ref, qref_ref, tref_ref, qlen_ref, tlen_ref,
     mi = mi_ref[:, 0:1]
     go = go_ref[:, 0:1]
     ge = ge_ref[:, 0:1]
+    # dynamic chunk bounds: the compiled shape is one big static bucket
+    # (keeps the tunnel-compiled shape set tiny), but blocks whose pairs are
+    # shorter than L stop sweeping once every pair's last diagonal
+    # d = qlen + tlen has passed, and the endpoint scan only runs in chunks
+    # that can contain endpoint cells (d >= min(qlen, tlen)).
+    d_max = jnp.max(qlen + tlen)
+    d_min = jnp.min(jnp.minimum(qlen, tlen))
+    chunk_live = c * CH + 2 <= d_max
+    chunk_has_end = (c + 1) * CH + 1 >= d_min
 
     @pl.when(c == 0)
     def _init():
@@ -116,7 +125,7 @@ def _fwd_kernel(winq_ref, wint_ref, qref_ref, tref_ref, qlen_ref, tlen_ref,
         acol_ref[:] = jnp.full((BB, Wp), ACC_EMPTY, jnp.int32)
         arow_ref[:] = jnp.full((BB, Wp), ACC_EMPTY, jnp.int32)
 
-    def make_step(boundary):
+    def make_step(boundary, endscan):
       def step(s, _):
         ss = c * CH + s          # absolute step; diagonal d = ss + 2
         d = ss + 2
@@ -177,13 +186,16 @@ def _fwd_kernel(winq_ref, wint_ref, qref_ref, tref_ref, qlen_ref, tlen_ref,
         # and j (row family), so the per-family lane-max reproduces the
         # "max score, then larger i, then larger j" rule; the cross-family
         # merge happens outside the kernel.
-        K = (H << SB) + ss
-        lane_col = 2 * tlen - d - o_lo
-        okc = (d >= tlen) & (d <= qlen + tlen) & (lane_iota == lane_col)
-        acol_ref[:] = jnp.maximum(acol_ref[:], jnp.where(okc, K, ACC_EMPTY))
-        lane_row = d - 2 * qlen - o_lo
-        okr = (d >= qlen) & (d <= qlen + tlen) & (lane_iota == lane_row)
-        arow_ref[:] = jnp.maximum(arow_ref[:], jnp.where(okr, K, ACC_EMPTY))
+        if endscan:
+            K = (H << SB) + ss
+            lane_col = 2 * tlen - d - o_lo
+            okc = (d >= tlen) & (d <= qlen + tlen) & (lane_iota == lane_col)
+            acol_ref[:] = jnp.maximum(acol_ref[:],
+                                      jnp.where(okc, K, ACC_EMPTY))
+            lane_row = d - 2 * qlen - o_lo
+            okr = (d >= qlen) & (d <= qlen + tlen) & (lane_iota == lane_row)
+            arow_ref[:] = jnp.maximum(arow_ref[:],
+                                      jnp.where(okr, K, ACC_EMPTY))
 
         h0_ref[:] = H1
         h1_ref[:] = H
@@ -202,9 +214,19 @@ def _fwd_kernel(winq_ref, wint_ref, qref_ref, tref_ref, qlen_ref, tlen_ref,
       return step
 
     jax.lax.cond(
-        c <= CB,
-        lambda: jax.lax.fori_loop(0, CH, make_step(True), 0),
-        lambda: jax.lax.fori_loop(0, CH, make_step(False), 0),
+        chunk_live,
+        lambda: jax.lax.cond(
+            c <= CB,
+            # boundary chunks keep the endpoint scan unconditionally: tiny
+            # pairs (min length <= Wp/2) can have endpoints there
+            lambda: jax.lax.fori_loop(0, CH, make_step(True, True), 0),
+            lambda: jax.lax.cond(
+                chunk_has_end,
+                lambda: jax.lax.fori_loop(0, CH, make_step(False, True), 0),
+                lambda: jax.lax.fori_loop(0, CH, make_step(False, False), 0),
+            ),
+        ),
+        lambda: 0,
     )
 
     @pl.when(c == pl.num_programs(1) - 1)
@@ -229,6 +251,12 @@ def _walk_kernel(dirs_ref, ei_ref, ej_ref, ops_ref, st_ref,
         st_ref[:, 1:2] = ej_ref[:, 0:1]       # j
         st_ref[:, 2:3] = jnp.zeros((BB, 1), jnp.int32)  # gap state
         st_ref[:, 3:4] = jnp.zeros((BB, 1), jnp.int32)  # overflow flag
+
+    # skip chunks whose whole diagonal range lies above every walker's start
+    # d = ei + ej (their ops entries are masked to OP_NONE on the host); the
+    # walk then costs O(d_max), not O(S), per block
+    d_max = jnp.max(ei_ref[:, 0:1] + ej_ref[:, 0:1])
+    chunk_live = (S + 2) - (c + 1) * CH <= d_max
 
     def step(s, _):
         # diagonal processed this step: d = (S + 1) - (c*CH + s)
@@ -280,7 +308,11 @@ def _walk_kernel(dirs_ref, ei_ref, ej_ref, ops_ref, st_ref,
         st_ref[:, 3:4] = ov
         return 0
 
-    jax.lax.fori_loop(0, CH, step, 0)
+    jax.lax.cond(
+        chunk_live,
+        lambda: jax.lax.fori_loop(0, CH, step, 0),
+        lambda: 0,
+    )
 
 
 def _paddings(L: int, Wp: int):
@@ -461,12 +493,20 @@ def sg_align_with_ops_pallas(qcodes, tcodes, qlen, tlen, match, mismatch,
     fi = stf[:, 0]
     fj = stf[:, 1]
     overflow = stf[:, 3] != 0
+    # ops positions before each walker's start diagonal (d > ei + ej) may
+    # come from chunks the walk skipped entirely (uninitialized output
+    # blocks); force them to OP_NONE so the stream is deterministic
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
+    ops = jnp.where(k_iota < (S + 1 - (ei + ej))[:, None],
+                    jnp.uint8(OP_NONE), ops)
     return best, ei, ej, ops, fi, fj, overflow
 
 
-@functools.partial(jax.jit, static_argnames=("Wp", "L", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("Wp", "L", "interpret", "fuse_out"))
 def sg_align_pool_pallas(pool_flat, plen, ia, ib, match, mismatch, gopen,
-                         gext, *, Wp: int, L: int, interpret: bool = False):
+                         gext, *, Wp: int, L: int, interpret: bool = False,
+                         fuse_out: bool = False):
     """Pool-gather + packed-opcode variant for thin host links.
 
     Sequences are gathered on device from the flat interned pool (see
@@ -495,7 +535,20 @@ def sg_align_pool_pallas(pool_flat, plen, ia, ib, match, mismatch, gopen,
     scal = jnp.stack(
         [best, ei, ej, fi, fj, overflow.astype(jnp.int32)]
     ).astype(jnp.int32)
+    if fuse_out:
+        # single 1-D uint8 download buffer: one host-link round trip for
+        # the whole batch (non-sharded path only; decode with
+        # ``split_fused_out``)
+        scal_u8 = jax.lax.bitcast_convert_type(scal, jnp.uint8)
+        return (jnp.concatenate([scal_u8.reshape(-1), packed.reshape(-1)]),)
     return scal, packed
+
+
+def split_fused_out(buf: np.ndarray, B: int):
+    """Host-side inverse of fuse_out: -> (scal [6, B] int32, ops [B, S])."""
+    nb = 24 * B
+    scal = buf[:nb].view(np.int32).reshape(6, B)
+    return scal, unpack_ops(buf[nb:].reshape(B, -1))
 
 
 def unpack_ops(packed: np.ndarray) -> np.ndarray:

@@ -180,7 +180,7 @@ class PairEngine:
 
     def __init__(self, batch_pairs: int = 256, w0: int = 128,
                  host_threshold: int = 0, sharder=None, use_pallas=None,
-                 ed_batch: int = None):
+                 ed_batch: int = None, interpret: bool = False):
         enable_compilation_cache()
         self.batch_pairs = batch_pairs
         self.w0 = w0
@@ -193,6 +193,7 @@ class PairEngine:
                 jax.default_backend() != "cpu" and batch_pairs % 128 == 0
             )
         self.use_pallas = use_pallas
+        self.interpret = interpret  # run Pallas kernels in interpret mode
         # On the CPU backend the lax.scan DP kernels are the slow path; a
         # threaded C++ implementation of the same recurrences (bit-identical
         # tie rules) replaces them: native/myers_ed.cc for NW distances,
@@ -500,7 +501,8 @@ class PairEngine:
             else:
                 from .myers_pallas import myers_ed_pool
 
-                ed = myers_ed_pool(dev_mat, dev_lens, ia, ib, L=Lb, sub=sub_L)
+                ed = myers_ed_pool(dev_mat, dev_lens, ia, ib, L=Lb,
+                                   sub=sub_L, interpret=self.interpret)
             return ("myers", False), B, ed, tlen, qlen, tlen
 
         q = np.full((B, Lb), 5, dtype=np.int8)
@@ -535,7 +537,8 @@ class PairEngine:
             from .wavefront_pallas import banded_ed_pallas
 
             ed, ej = banded_ed_pallas(q, t, qlen, tlen, Wp=Wp, L=Lb,
-                                      hw_mode=hw_mode)
+                                      hw_mode=hw_mode,
+                                      interpret=self.interpret)
         else:
             ed, ej = banded_ed(q, t, qlen, tlen, Wp=Wp, L=Lb, hw_mode=hw_mode,
                                small=small)
@@ -695,12 +698,13 @@ class PairEngine:
             if self.sharder is not None:
                 outs = self.sharder.sg_align_pool(
                     dev_mat, dev_lens, ia, ib, ma, mi, go, ge, Wp=Wp, L=Lb)
-            else:
-                from .affine_pallas import sg_align_pool_pallas
+                return ("pallas", tuple(outs))
+            from .affine_pallas import sg_align_pool_pallas
 
-                outs = sg_align_pool_pallas(
-                    dev_mat, dev_lens, ia, ib, ma, mi, go, ge, Wp=Wp, L=Lb)
-            return ("pallas", tuple(outs))
+            (buf,) = sg_align_pool_pallas(
+                dev_mat, dev_lens, ia, ib, ma, mi, go, ge, Wp=Wp, L=Lb,
+                fuse_out=True, interpret=self.interpret)
+            return ("pallas1", (buf, Bp))
         q = np.full((Bp, Lb), 5, dtype=np.int8)
         t = np.full((Bp, Lb), 6, dtype=np.int8)
         qlen = np.ones(Bp, dtype=np.int32)
@@ -728,7 +732,14 @@ class PairEngine:
     def _collect_align(self, pairs, chunk, Lb, Wp, handle, out, next_round,
                        bands):
         kind, outs = handle  # every launch path tags its handle explicitly
-        if kind == "pallas":
+        if kind == "pallas1":
+            # one fused download buffer: a single host-link round trip
+            from .affine_pallas import split_fused_out
+
+            buf, Bp = outs
+            scal, ops = split_fused_out(np.asarray(buf), Bp)
+            _best, ei, ej, fi, fj, overflow = scal
+        elif kind == "pallas":
             # two bulk transfers: [6, B] int32 scalars + packed opcodes
             from .affine_pallas import unpack_ops
 

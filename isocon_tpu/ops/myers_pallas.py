@@ -71,10 +71,13 @@ def _kernel(peq_ref, text_ref, nlen_ref, mlen_ref, nword_ref, nbit_ref,
     dominant fixed cost of small pipeline runs.
     """
     nwords = L // 32
-    nphases = L // 32
 
     nlen = nlen_ref[:]
     mlen = mlen_ref[:]
+    # dynamic sweep bound: one static compiled shape (L), but each block
+    # stops at its own longest target -- answers are complete once column
+    # max(m) has been processed
+    nphases = (jnp.max(mlen) + 31) // 32
     nword = nword_ref[:]
     nbit = nbit_ref[:].astype(jnp.uint32)
 

@@ -92,6 +92,33 @@ def test_sharded_pallas_pool_paths():
     assert a1 == a2
 
 
+def test_local_pallas_pool_paths_fused_collect():
+    """The non-sharded engine Pallas fast paths (interpret mode on CPU),
+    including the single-buffer fused align download, match the oracle
+    engine."""
+    rng = random.Random(5)
+    pairs = []
+    for _ in range(24):
+        a = rand_seq(rng, rng.randrange(150, 250))
+        b = mutate(rng, a, rng.randrange(0, 12))
+        pairs.append((a, b))
+
+    fast = PairEngine(batch_pairs=128, use_pallas=True, ed_batch=512,
+                      interpret=True)
+    fast.pallas_L0 = 256
+    fast.batch_pairs = 256
+    local = PairEngine(batch_pairs=16)
+
+    ed1, _ = local.edit_distances(pairs)
+    ed2, _ = fast.edit_distances(pairs)
+    np.testing.assert_array_equal(ed1, ed2)
+
+    scores = [(2, -2, 2, 0)] * len(pairs)
+    a1 = local.align_pairs(pairs, scores)
+    a2 = fast.align_pairs(pairs, scores)
+    assert a1 == a2
+
+
 def _noisy_copy(rng, s, error_rate):
     out = []
     for ch in s:
