@@ -1,13 +1,20 @@
 """Benchmark: pairwise edit-distance alignment throughput per chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
-Workload: realistic NN-search pairs from the reference's bundled simulated
-PacBio reads (~2 kb), banded wavefront ED at Wp=128 (k=63) -- the
-pipeline's hot kernel (HOT LOOP 1 in SURVEY.md).  Baseline: the native C++
-Myers bit-vector kernel (the reference's edlib equivalent) on one CPU core.
-vs_baseline = device alignments/s / CPU alignments/s; the BASELINE.json
-target is >= 100x.
+Headline workload: realistic NN-search pairs from the reference's bundled
+simulated PacBio reads (~2 kb), banded wavefront ED at Wp=128 (k=63) --
+the pipeline's hot kernel (HOT LOOP 1 in SURVEY.md).  Baseline: the native
+C++ Myers bit-vector kernel (the reference's edlib equivalent) on one CPU
+core.  vs_baseline = device alignments/s / CPU alignments/s; the
+BASELINE.json target is >= 100x.
+
+extra (BASELINE.json secondary metrics, best-of-N each):
+  affine_sg_per_sec -- pooled Pallas affine semi-global alignment with
+    full traceback (HOT LOOP 2), device-resident inputs, per chip.
+  e2e_n200_reads_per_sec / e2e_n200_seconds -- full `pipeline` run on the
+    bundled 200-read reference dataset on this backend (set
+    ISOCON_BENCH_NO_E2E=1 to skip).
 """
 from __future__ import annotations
 
@@ -106,10 +113,76 @@ def bench_cpu(q, t, qlen, tlen):
     return best
 
 
+def bench_affine(q, t, qlen, tlen):
+    """Pooled affine SG alignment + traceback throughput, device-resident
+    inputs (the engine's pallas1 path geometry: Wp=256, L=2048, B=512)."""
+    import jax
+    import jax.numpy as jnp
+    from isocon_tpu.ops.affine_pallas import sg_align_pool_pallas
+
+    B = 512
+    U = 1024
+    pool = np.full((U, L), 6, dtype=np.int8)
+    plen = np.ones(U, dtype=np.int32)
+    for u in range(U):
+        pool[u] = t[u % t.shape[0]]
+        plen[u] = tlen[u % t.shape[0]]
+    rng = np.random.default_rng(0)
+    ia = rng.integers(0, U - 3, B).astype(np.int32)
+    ib = (ia + 1 + rng.integers(0, 3, B)).astype(np.int32)
+    args = [jax.device_put(x) for x in (
+        pool.reshape(-1), plen, ia, ib,
+        np.full(B, 2, np.int16), np.full(B, -2, np.int16),
+        np.full(B, 2, np.int16), np.full(B, 0, np.int16))]
+
+    def run():
+        (buf,) = sg_align_pool_pallas(*args, Wp=256, L=L, fuse_out=True)
+        return buf
+
+    np.asarray(run())  # compile
+    best = 0.0
+    for _rep in range(3):
+        t0 = time.perf_counter()
+        np.asarray(run())
+        best = max(best, B / (time.perf_counter() - t0))
+    return best
+
+
+def bench_e2e_n200():
+    """Full pipeline on the bundled n_200 dataset (the reference's CI
+    workload, .travis.yml:22): reads/s to final_candidates.fa."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    reads = "/root/reference/test/data/simulated_pacbio_reads_n_200.fa"
+    out = tempfile.mkdtemp(prefix="isocon_bench_")
+    t0 = time.perf_counter()
+    r = subprocess.run(
+        [sys.executable, "-m", "isocon_tpu.cli", "pipeline",
+         "-fl_reads", reads, "-outfolder", out, "--batch_pairs", "512"],
+        capture_output=True, text=True,
+    )
+    dt = time.perf_counter() - t0
+    ok = r.returncode == 0 and os.path.exists(
+        os.path.join(out, "final_candidates.fa"))
+    shutil.rmtree(out, ignore_errors=True)
+    if not ok:
+        return None, None
+    return 200.0 / dt, dt
+
+
 def main():
     q, t, qlen, tlen = build_pairs()
     cpu_rate = bench_cpu(q, t, qlen, tlen)
     dev_rate = bench_device(q, t, qlen, tlen)
+    affine_rate = bench_affine(q, t, qlen, tlen)
+    extra = {"affine_sg_per_sec": round(affine_rate, 2)}
+    if not os.environ.get("ISOCON_BENCH_NO_E2E"):
+        e2e_rate, e2e_s = bench_e2e_n200()
+        if e2e_rate is not None:
+            extra["e2e_n200_reads_per_sec"] = round(e2e_rate, 3)
+            extra["e2e_n200_seconds"] = round(e2e_s, 1)
     print(
         json.dumps(
             {
@@ -117,6 +190,7 @@ def main():
                 "value": round(dev_rate, 2),
                 "unit": "alignments/s (2kb reads, banded Myers, k<=64)",
                 "vs_baseline": round(dev_rate / cpu_rate, 2),
+                "extra": extra,
             }
         )
     )

@@ -68,7 +68,7 @@ def _geometry(Wp: int, L: int, B: int):
     import os
 
     CHF = int(os.environ.get("ISOCON_AFFINE_CH", 0)) or (
-        16 if Wp <= 1024 else 8
+        16 if Wp < 1024 else 8
     )
     CHW = int(os.environ.get("ISOCON_AFFINE_CHW", 0)) or (
         64 if Wp <= 512 else 16
@@ -459,6 +459,10 @@ def sg_align_with_ops_pallas(qcodes, tcodes, qlen, tlen, match, mismatch,
             pltpu.VMEM((BB, Wp), jnp.int32),        # acol accumulator
             pltpu.VMEM((BB, Wp), jnp.int32),        # arow accumulator
         ],
+        # wide-band escalation shapes (Wp >= 1024) exceed the default 16 MB
+        # scoped-vmem budget; the v5e core has far more physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(winq, wint, QP, TP, scal(qlen), scal(tlen), scal(match),
       scal(mismatch), scal(gopen), scal(gext))
@@ -486,6 +490,8 @@ def sg_align_with_ops_pallas(qcodes, tcodes, qlen, tlen, match, mismatch,
             pl.BlockSpec((BB, SCAL), lambda i, c: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(dirs, scal(ei), scal(ej))
     # the walk state (i, j, gap-state, overflow) is carried in the second

@@ -54,3 +54,28 @@ def test_ccs_bam_to_fastq(tmp_path):
     assert content[0].startswith("@m1/7/0_8_CCS")
     assert content[1] == "ACGTACGT"
     assert len(content[3]) == 8
+
+
+def test_end_invariant_graph(tmp_path):
+    """Standalone ends-ignored NN graph tool
+    (end_invariant_functions.py:1067-1132)."""
+    import random
+
+    rng = random.Random(9)
+    base = "".join(rng.choice("ACGT") for _ in range(200))
+    # c2 = c1 with 5bp trimmed off one end (end-invariant), c3 distinct
+    other = "".join(rng.choice("ACGT") for _ in range(200))
+    cands = tmp_path / "cands.fa"
+    cands.write_text(
+        ">t1_support_10\n%s\n>t2_support_4\n%s\n>t3_support_7\n%s\n"
+        % (base, base[5:], other)
+    )
+    out = tmp_path / "edges.tsv"
+    r = run(["scripts/end_invariant_graph.py", str(cands), str(out)])
+    assert r.returncode == 0, r.stderr
+    rows = [l.split("\t") for l in out.read_text().splitlines()]
+    pairs = {(a, b) for a, _s1, b, _s2, _ed in rows}
+    assert ("t1_support_10", "t2_support_4") in pairs
+    assert ("t2_support_4", "t1_support_10") in pairs
+    assert not any("t3" in a or "t3" in b for a, b in pairs)
+    assert "candidates after edge invariants: 2" in r.stdout
