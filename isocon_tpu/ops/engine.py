@@ -24,6 +24,11 @@ from .wavefront import banded_ed, band_certifies
 
 _LEN_BUCKETS = [128, 256, 512, 1024, 1536, 2048, 3072, 4096, 6144, 8192]
 
+# Band width -> Myers window words (certification radius 32*(win//2)):
+# band escalation stays on the bit-parallel pool path instead of falling
+# back to the wavefront scan (the round-1 kernel was pinned at win=7).
+_MYERS_WIN = {128: 7, 256: 9, 512: 17, 1024: 33}
+
 _DEBUG = bool(os.environ.get("ISOCON_ENGINE_DEBUG"))
 
 _CACHE_SET = False
@@ -314,15 +319,17 @@ class PairEngine:
         Wp = self.w0
         while rest:
             next_round: List[int] = []
-            # bucket by padded length; the Myers path collapses to power-of-2
-            # buckets >= 2048 so only one or two kernel shapes ever compile
+            # bucket by padded length; pooled paths collapse to power-of-2
+            # buckets >= pallas_L0 so only a few kernel shapes ever compile
+            # (and all rounds share the same device-resident pools)
             myers_ok = (self.use_pallas and self.myers_sub >= 8
-                        and not hw_mode and Wp == 128)
+                        and not hw_mode and Wp in _MYERS_WIN)
+            pool_ok = myers_ok or (self.use_pallas and self.sharder is None)
             buckets: dict = {}
             for i in rest:
                 a, b = pairs[i]
                 ln = max(len(a), len(b))
-                if myers_ok:
+                if pool_ok:
                     Lb = self.pallas_L0
                     while Lb < ln:
                         Lb *= 2
@@ -333,7 +340,7 @@ class PairEngine:
             # and host<->device round trips pipeline instead of serializing
             launched = []
             for Lb, idxs in sorted(buckets.items()):
-                if myers_ok:
+                if pool_ok:
                     # intern the whole bucket up front so every chunk shares
                     # one pool version (one device push per round, not one
                     # per chunk)
@@ -375,8 +382,12 @@ class PairEngine:
                         # of this band; give up early when that already
                         # clears the caller's cutoff.
                         a, b = pairs[i]
-                        floor = self._certified_floor(len(a), len(b), Wp,
-                                                      hw_mode)
+                        if handle[0][0] == "myers":
+                            floor = self._myers_floor(len(a), len(b),
+                                                      handle[0][1])
+                        else:
+                            floor = self._certified_floor(len(a), len(b), Wp,
+                                                          hw_mode)
                         if floor >= caps[i]:
                             ed_out[i] = -1
                         else:
@@ -434,6 +445,18 @@ class PairEngine:
             ej_out[i] = tlen[pos]
 
     @staticmethod
+    def _myers_floor(n: int, m: int, win: int) -> int:
+        """Myers analog of _certified_floor: uncertified at window `win`
+        implies ed > this.  If delta ≥ margin the pair can never certify
+        and only ed ≥ delta is known; otherwise every true ed ≤
+        2*margin - delta would have been certified."""
+        margin = 32 * (win // 2)
+        delta = abs(m - n)
+        if delta >= margin:
+            return delta - 1
+        return 2 * margin - delta
+
+    @staticmethod
     def _certified_floor(n: int, m: int, Wp: int, hw_mode: bool) -> int:
         """Largest v such that any true distance <= v would have been
         certified by a band of width Wp (so an uncertified result implies
@@ -456,9 +479,10 @@ class PairEngine:
         # VMEM cap: text + peq blocks double-buffer across grid steps, so
         # L*sub is bounded (L=2048 @ sub=16 ~ 14 MB is the known-good max)
         sub_L = min(self.myers_sub, max(32768 // Lb, 1))
+        win = _MYERS_WIN.get(Wp)
         myers_path = (self.use_pallas
-                      and sub_L >= 4 and not hw_mode and Wp == 128
-                      and Lb >= 256 and Lb % 32 == 0)
+                      and sub_L >= 4 and not hw_mode and win is not None
+                      and Lb >= 256 and Lb % 32 == 0 and Lb >= 32 * win)
         if myers_path:
             # device-resident pool path: only int32 row indices per pair
             # cross the host link; the kernel gathers rows on device
@@ -497,18 +521,51 @@ class PairEngine:
             dev_mat, dev_lens = pool.device_arrays(self._pool_sharding())
             if self.sharder is not None:
                 ed = self.sharder.myers_ed_pool(dev_mat, dev_lens, ia, ib,
-                                                L=Lb, sub=sub_L)
+                                                L=Lb, sub=sub_L, win=win)
             else:
                 from .myers_pallas import myers_ed_pool
 
                 ed = myers_ed_pool(dev_mat, dev_lens, ia, ib, L=Lb,
-                                   sub=sub_L, interpret=self.interpret)
-            return ("myers", False), B, ed, tlen, qlen, tlen
+                                   sub=sub_L, win=win,
+                                   interpret=self.interpret)
+            return ("myers", win), B, ed, tlen, qlen, tlen
 
-        q = np.full((B, Lb), 5, dtype=np.int8)
-        t = np.full((B, Lb), 6, dtype=np.int8)
-        qlen = np.zeros(B, dtype=np.int32)
-        tlen = np.zeros(B, dtype=np.int32)
+        cap = min(self.ed_batch, self.batch_pairs)
+        if B <= cap:
+            Bp = cap
+        else:
+            nchunk = -(-B // 128)
+            Bp = (1 << (nchunk - 1).bit_length()) * 128
+        small = Wp <= 192  # int8 state: 2x VPU width; larger bands need int16
+        if self.use_pallas and self.sharder is None:
+            # pooled wavefront path (HW mode + bands beyond the Myers
+            # windows): gather on device, ship only int32 indices
+            pool = self._pools.get(Lb)
+            if pool is None:
+                pool = self._pools[Lb] = _SeqPool(Lb)
+            ia = np.zeros(Bp, dtype=np.int32)
+            ib = np.zeros(Bp, dtype=np.int32)
+            qlen = np.ones(Bp, dtype=np.int32)
+            tlen = np.ones(Bp, dtype=np.int32)
+            for pos, i in enumerate(chunk):
+                a, b = pairs[i]
+                ia[pos] = pool.intern(a, self._enc)
+                ib[pos] = pool.intern(b, self._enc)
+                qlen[pos], tlen[pos] = len(a), len(b)
+            from .wavefront import banded_ed_pool
+
+            use_pl = Wp == 128 and Lb % 64 == 0 and Bp % 128 == 0
+            dev_mat, dev_lens = pool.device_arrays()
+            ed, ej = banded_ed_pool(
+                dev_mat, dev_lens, ia, ib, Wp=Wp, L=Lb, hw_mode=hw_mode,
+                small=small, kernel="pallas" if use_pl else "scan",
+                interpret=self.interpret)
+            return ("wave", small), B, ed, ej, qlen, tlen
+
+        q = np.full((Bp, Lb), 5, dtype=np.int8)
+        t = np.full((Bp, Lb), 6, dtype=np.int8)
+        qlen = np.ones(Bp, dtype=np.int32)
+        tlen = np.ones(Bp, dtype=np.int32)
         for pos, i in enumerate(chunk):
             a, b = pairs[i]
             ea, eb = self._enc(a), self._enc(b)
@@ -516,18 +573,6 @@ class PairEngine:
             t[pos, : len(eb)] = eb
             qlen[pos] = len(ea)
             tlen[pos] = len(eb)
-        cap = min(self.ed_batch, self.batch_pairs)
-        if B <= cap:
-            Bp = cap
-        else:
-            nchunk = -(-B // 128)
-            Bp = (1 << (nchunk - 1).bit_length()) * 128
-        if B < Bp:
-            q = np.pad(q, ((0, Bp - B), (0, 0)), constant_values=5)
-            t = np.pad(t, ((0, Bp - B), (0, 0)), constant_values=6)
-            qlen = np.pad(qlen, (0, Bp - B), constant_values=1)
-            tlen = np.pad(tlen, (0, Bp - B), constant_values=1)
-        small = Wp <= 192  # int8 state: 2x VPU width; larger bands need int16
         if self.sharder is not None:
             ed, ej = self.sharder.banded_ed(q, t, qlen, tlen, Wp=Wp, L=Lb,
                                             hw_mode=hw_mode, small=small)
@@ -551,7 +596,7 @@ class PairEngine:
         if kind == "myers":
             from .myers_pallas import myers_certifies
 
-            cert = myers_certifies(ed, qlen[:B], tlen[:B])
+            cert = myers_certifies(ed, qlen[:B], tlen[:B], win=small)
         else:
             cert = band_certifies(ed, qlen[:B], tlen[:B], Wp, hw_mode=hw_mode,
                                   small=small)

@@ -54,7 +54,7 @@ ONES = np.uint32(0xFFFFFFFF)
 
 
 def _kernel(peq_ref, text_ref, nlen_ref, mlen_ref, nword_ref, nbit_ref,
-            out_ref, *, L: int, SUB: int):
+            out_ref, *, L: int, SUB: int, WIN: int):
     """peq_ref: [len(PLANES) * nwords * SUB, LANES] uint32
     text_ref: [L * SUB, LANES] int8 codes
     nlen/mlen: [SUB, LANES] int32 (n <= m)
@@ -194,9 +194,10 @@ def _kernel(peq_ref, text_ref, nlen_ref, mlen_ref, nword_ref, nbit_ref,
     out_ref[:] = base + walk
 
 
-@functools.partial(jax.jit, static_argnames=("L", "interpret", "sub"))
+@functools.partial(jax.jit,
+                   static_argnames=("L", "interpret", "sub", "win"))
 def myers_ed_pool(pool_flat, plen, ia, ib, *, L: int, interpret: bool = False,
-                  sub: int = SUB):
+                  sub: int = SUB, win: int = WIN):
     """Pool-gather variant: sequences live in a device-resident pool,
     shipped FLAT ([U*L] int8 + lengths [U]); per batch only the int32 index
     vectors cross the host link.  ia/ib index the pair's two sequences.
@@ -210,22 +211,24 @@ def myers_ed_pool(pool_flat, plen, ia, ib, *, L: int, interpret: bool = False,
     qlen = jnp.take(plen, ia)
     tlen = jnp.take(plen, ib)
     return _myers_ed(qcodes, tcodes, qlen, tlen, L=L, interpret=interpret,
-                     sub=sub)
+                     sub=sub, win=win)
 
 
-@functools.partial(jax.jit, static_argnames=("L", "interpret", "sub"))
+@functools.partial(jax.jit,
+                   static_argnames=("L", "interpret", "sub", "win"))
 def myers_ed_pallas(qcodes, tcodes, qlen, tlen, *, L: int,
-                    interpret: bool = False, sub: int = SUB):
+                    interpret: bool = False, sub: int = SUB, win: int = WIN):
     """Batched banded Myers NW edit distance; B multiple of 1024, L multiple
     of 32 with L >= 160.  Swaps q/t per pair so that len(q) <= len(t).
     Returns ed [B] int32 (certified per ``myers_certifies``)."""
     return _myers_ed(qcodes, tcodes, qlen, tlen, L=L, interpret=interpret,
-                     sub=sub)
+                     sub=sub, win=win)
 
 
 def _myers_ed(qcodes, tcodes, qlen, tlen, *, L: int, interpret: bool,
-              sub: int):
-    assert L % 32 == 0 and L >= 32 * WIN
+              sub: int, win: int = WIN):
+    WINX = win
+    assert L % 32 == 0 and L >= 32 * WINX
     SUBX = sub
     block = SUBX * LANES
     B = qcodes.shape[0]
@@ -280,7 +283,7 @@ def _myers_ed(qcodes, tcodes, qlen, tlen, *, L: int, interpret: bool,
     vec = lambda rows: pl.BlockSpec((rows, LANES), lambda g: (g, 0),
                                     memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_kernel, L=L, SUB=SUBX),
+        functools.partial(_kernel, L=L, SUB=SUBX, WIN=WINX),
         out_shape=jax.ShapeDtypeStruct((G * SUBX, LANES), jnp.int32),
         grid=(G,),
         in_specs=[vec(PEQR), vec(L * SUBX), vec(SUBX), vec(SUBX), vec(SUBX),
@@ -292,9 +295,9 @@ def _myers_ed(qcodes, tcodes, qlen, tlen, *, L: int, interpret: bool,
     return out.reshape(B)
 
 
-def myers_certifies(ed: np.ndarray, qlen: np.ndarray, tlen: np.ndarray
-                    ) -> np.ndarray:
-    margin = 32 * (WIN // 2)  # rows guaranteed active on both diagonal sides
+def myers_certifies(ed: np.ndarray, qlen: np.ndarray, tlen: np.ndarray,
+                    win: int = WIN) -> np.ndarray:
+    margin = 32 * (win // 2)  # rows guaranteed active on both diagonal sides
     delta = np.abs(tlen.astype(np.int64) - qlen.astype(np.int64))
     v = ed.astype(np.int64)
     return (

@@ -181,6 +181,31 @@ def banded_ed(qcodes, tcodes, qlen, tlen, *, Wp: int, L: int,
     return res, endj
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("Wp", "L", "hw_mode", "small", "kernel", "interpret"))
+def banded_ed_pool(pool_flat, plen, ia, ib, *, Wp: int, L: int,
+                   hw_mode: bool = False, small: bool = False,
+                   kernel: str = "scan", interpret: bool = False):
+    """Pool-gather wrapper: sequences gathered on device from the flat
+    interned pool (see ``myers_pallas.myers_ed_pool``), so band-escalation
+    and HW-mode batches ship only int32 indices over the host link instead
+    of host-assembled [B, L] code planes."""
+    U = pool_flat.shape[0] // L
+    pool = pool_flat.reshape(U, L)
+    qcodes = jnp.take(pool, ia, axis=0)
+    tcodes = jnp.take(pool, ib, axis=0)
+    qlen = jnp.take(plen, ia)
+    tlen = jnp.take(plen, ib)
+    if kernel == "pallas":
+        from .wavefront_pallas import banded_ed_pallas
+
+        return banded_ed_pallas(qcodes, tcodes, qlen, tlen, Wp=Wp, L=L,
+                                hw_mode=hw_mode, interpret=interpret)
+    return banded_ed(qcodes, tcodes, qlen, tlen, Wp=Wp, L=L,
+                     hw_mode=hw_mode, small=small)
+
+
 def band_certifies(ed: np.ndarray, qlen: np.ndarray, tlen: np.ndarray, Wp: int,
                    hw_mode: bool = False, small: bool = False) -> np.ndarray:
     """True where the banded result is exact (see module docstring)."""

@@ -51,10 +51,11 @@ class Sharder:
 
         return NamedSharding(self.mesh, P())
 
-    def myers_ed_pool(self, pool_flat, plen, ia, ib, *, L: int, sub: int):
+    def myers_ed_pool(self, pool_flat, plen, ia, ib, *, L: int, sub: int,
+                      win: int = 7):
         """Pool-gather bit-parallel Myers ED, pair axis sharded over the
         mesh (pool replicated; only int32 indices are sharded)."""
-        key = ("myers_pool", L, sub)
+        key = ("myers_pool", L, sub, win)
         fn = self._jits.get(key)
         if fn is None:
             from ..ops.myers_pallas import myers_ed_pool
@@ -68,7 +69,7 @@ class Sharder:
             )
             def run(pf, pl_, ias, ibs):
                 return myers_ed_pool(pf, pl_, ias, ibs, L=L, sub=sub,
-                                     interpret=interp)
+                                     win=win, interpret=interp)
 
             fn = self._jits[key] = jax.jit(run)
         assert ia.shape[0] % self.n == 0

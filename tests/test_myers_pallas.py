@@ -97,3 +97,32 @@ def test_seq_pool_delta_push():
         e = enc(s)
         assert lens[r] == len(s)
         assert (got[r, : len(e)] == e).all(), s
+
+
+def test_engine_myers_window_escalation():
+    """Band escalation stays on the Myers pool path: pairs whose ED is
+    uncertifiable at win=7 (radius 96) certify at win=9 and must match the
+    oracle through the engine."""
+    import random
+
+    from isocon_tpu.ops import oracle
+    from isocon_tpu.ops.engine import PairEngine
+
+    rng = random.Random(17)
+    pairs = []
+    for _ in range(6):
+        a = "".join(rng.choice("ACGT") for _ in range(300))
+        b = list(a)
+        # ~140 substitutions: ed in (96, 128] certifies only at win >= 9
+        for p in rng.sample(range(300), 140):
+            b[p] = rng.choice([c for c in "ACGT" if c != b[p]])
+        pairs.append((a, "".join(b)))
+
+    eng = PairEngine(batch_pairs=128, use_pallas=True, ed_batch=512,
+                     interpret=True)
+    eng.pallas_L0 = 512
+    eds, _ = eng.edit_distances(pairs)
+    for (a, b), d in zip(pairs, eds):
+        want = oracle.edit_distance(a, b)
+        assert d == want, (d, want)
+        assert want > 96  # really exercised the win=9 escalation
