@@ -64,14 +64,32 @@ def test_n200_pipeline_matches_golden(tmp_path):
 
 
 @slow
-def test_n500_get_candidates_matches_golden(tmp_path):
-    golden = os.path.join(GOLDEN, "n500_candidates_converged.fa")
-    if not os.path.exists(golden):
-        pytest.skip("n500 golden snapshot not committed yet")
+def test_n500_pipeline_matches_golden(tmp_path):
+    """Full pipeline on n_500 (~30 s CPU): candidates_converged AND
+    final_candidates both pinned."""
+    out = str(tmp_path / "out")
+    cli_main([
+        "pipeline",
+        "-fl_reads", os.path.join(REF_DATA, "simulated_pacbio_reads_n_500.fa"),
+        "-outfolder", out, "--batch_pairs", "64",
+    ])
+    got = support_and_seqs(os.path.join(out, "candidates_converged.fa"))
+    want = support_and_seqs(
+        os.path.join(GOLDEN, "n500_candidates_converged.fa"))
+    assert got == want
+    got = support_and_seqs(os.path.join(out, "final_candidates.fa"))
+    want = support_and_seqs(os.path.join(GOLDEN, "n500_final_candidates.fa"))
+    assert got == want
+
+
+@slow
+def test_n1000_get_candidates_matches_golden(tmp_path):
+    golden = os.path.join(GOLDEN, "n1000_candidates_converged.fa")
     out = str(tmp_path / "out")
     cli_main([
         "get_candidates",
-        "-fl_reads", os.path.join(REF_DATA, "simulated_pacbio_reads_n_500.fa"),
+        "-fl_reads",
+        os.path.join(REF_DATA, "simulated_pacbio_reads_n_1000.fa"),
         "-outfolder", out, "--batch_pairs", "64",
     ])
     got = support_and_seqs(os.path.join(out, "candidates_converged.fa"))
