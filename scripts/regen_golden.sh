@@ -20,4 +20,8 @@ cp /tmp/golden500/candidates_converged.fa tests/golden/n500_candidates_converged
 run get_candidates -fl_reads "$DATA/simulated_pacbio_reads_n_1000.fa" \
     -outfolder /tmp/golden1000 --batch_pairs 64
 cp /tmp/golden1000/candidates_converged.fa tests/golden/n1000_candidates_converged.fa
+rm -rf /tmp/golden2000
+run pipeline -fl_reads "$DATA/simulated_pacbio_reads_n_2000.fa" \
+    -outfolder /tmp/golden2000 --batch_pairs 64
+cp /tmp/golden2000/final_candidates.fa tests/golden/n2000_final_candidates.fa
 echo "golden snapshots regenerated; git diff tests/golden/ to review"

@@ -83,6 +83,24 @@ def test_n500_pipeline_matches_golden(tmp_path):
 
 
 @slow
+def test_n2000_pipeline_matches_golden(tmp_path):
+    """Full pipeline on the largest bundled dataset (~4 min CPU); the
+    committed snapshot is byte-identical between the CPU and TPU backends
+    (verified 2026-08-19)."""
+    out = str(tmp_path / "out")
+    cli_main([
+        "pipeline",
+        "-fl_reads",
+        os.path.join(REF_DATA, "simulated_pacbio_reads_n_2000.fa"),
+        "-outfolder", out, "--batch_pairs", "64",
+    ])
+    got = support_and_seqs(os.path.join(out, "final_candidates.fa"))
+    want = support_and_seqs(
+        os.path.join(GOLDEN, "n2000_final_candidates.fa"))
+    assert got == want
+
+
+@slow
 def test_n1000_get_candidates_matches_golden(tmp_path):
     golden = os.path.join(GOLDEN, "n1000_candidates_converged.fa")
     out = str(tmp_path / "out")
