@@ -183,6 +183,7 @@ def run_stat_filter(params) -> None:
             params.fl_reads, params.candidates, read_partition, to_realign,
             params, engine,
         )
+    logger(engine.stats_line(), params.logfile)
     devlog(params, "stat_filter " + engine.stats_line())
     if params.cleanup:
         clean_dir(params)

@@ -52,11 +52,12 @@ ACC_EMPTY = np.int32(-(2 ** 30))  # "no endpoint seen" (< NEG << SB)
 
 
 def _geometry(Wp: int, L: int, B: int):
-    """(BB, CH): pairs per grid block and diagonals per dirs chunk.
+    """(BB, CH, CHW): pairs per grid block and diagonals per dirs chunk.
 
-    BB is pinned at 128: Mosaic compile time explodes (>5 min, vs 1.3 s at
-    128) for 256- and 512-sublane blocks of this kernel, measured on
-    v5-lite.  The c-indexed text streaming still keeps VMEM flat in L.
+    BB default 256 (clamped to B): the v1 kernel hit a >5 min Mosaic
+    compile blowup past 128 sublanes, but the v2 body compiles fine and
+    256-sublane blocks measure ~1.2x the 128 throughput (per-op fixed
+    cost amortizes over twice the pairs); 512 plateaus at the same rate.
     """
     # Chunk lengths trade Mosaic compile time (the fori body is unrolled;
     # the fwd body is doubled again by the boundary cond: CH=64 -> >250 s
@@ -73,7 +74,9 @@ def _geometry(Wp: int, L: int, B: int):
     CHW = int(os.environ.get("ISOCON_AFFINE_CHW", 0)) or (
         64 if Wp <= 512 else 16
     )
-    return 128, CHF, CHW
+    BB = int(os.environ.get("ISOCON_AFFINE_BB", 0)) or 256
+    BB = min(BB, B)
+    return BB, CHF, CHW
 
 
 def _fwd_kernel(winq_ref, wint_ref, qref_ref, tref_ref, qlen_ref, tlen_ref,

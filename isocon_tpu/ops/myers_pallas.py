@@ -289,6 +289,8 @@ def _myers_ed(qcodes, tcodes, qlen, tlen, *, L: int, interpret: bool,
         in_specs=[vec(PEQR), vec(L * SUBX), vec(SUBX), vec(SUBX), vec(SUBX),
                   vec(SUBX)],
         out_specs=vec(SUBX),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(peq_packed, text_packed, nlen_packed, mlen_packed, nword_packed,
       nbit_packed)
