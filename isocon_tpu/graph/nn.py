@@ -42,6 +42,53 @@ def _sorted_order(seqs: Sequence[str]) -> np.ndarray:
     )
 
 
+_BIG = np.int64(2 ** 30)
+_SLAB_ENTRIES = 4_000_000  # window-entry budget per bookkeeping slab
+
+
+class _PairCache:
+    """Certified pair EDs as parallel sorted arrays keyed a*n+b (a < b).
+
+    At 10k+ reads the per-round windows hold tens of millions of entries;
+    python dict bookkeeping dominated the whole phase-1 wall clock, so the
+    cache and all window logic are numpy (SURVEY.md §7 design stance)."""
+
+    def __init__(self):
+        self.keys = np.empty(0, np.int64)
+        self.vals = np.empty(0, np.int32)
+
+    def lookup(self, keys: np.ndarray):
+        """-> (present mask, values where present)."""
+        if self.keys.size == 0:
+            return np.zeros(keys.shape, bool), np.zeros(keys.shape, np.int32)
+        pos = np.searchsorted(self.keys, keys)
+        posc = np.minimum(pos, self.keys.size - 1)
+        present = self.keys[posc] == keys
+        return present, self.vals[posc]
+
+    def insert(self, keys: np.ndarray, vals: np.ndarray):
+        if keys.size == 0:
+            return
+        mk = np.concatenate([self.keys, keys])
+        mv = np.concatenate([self.vals, vals.astype(np.int32)])
+        o = np.argsort(mk, kind="stable")
+        self.keys, self.vals = mk[o], mv[o]
+
+
+def _window_entries(unresolved, caps, lo, hi):
+    """Flatten per-query windows [lo, hi) into (qrep, tgt, caprep, cum,
+    counts) -- the vectorized form of the reference's per-query expansion."""
+    counts = np.maximum(hi - lo, 0)
+    total = int(counts.sum())
+    qrep = np.repeat(unresolved, counts)
+    caprep = np.repeat(caps, counts)
+    cum = np.zeros(len(counts), np.int64)
+    np.cumsum(counts[:-1], out=cum[1:])
+    tgt = np.arange(total, dtype=np.int64) - np.repeat(cum, counts) \
+        + np.repeat(lo, counts)
+    return qrep, tgt, caprep, cum, counts
+
+
 def nearest_neighbors(
     seqs: Sequence[str],
     converged: Sequence[bool],
@@ -69,66 +116,77 @@ def nearest_neighbors(
     lens = np.array([len(seqs[i]) for i in order], dtype=np.int64)
     conv = np.array([bool(converged[i]) for i in order])
 
-    pair_cache: Dict[tuple, int] = {}       # certified exact values
-    unresolved = [p for p in range(n) if not conv[p]]
+    cache = _PairCache()
+    unresolved = np.flatnonzero(~conv).astype(np.int64)
     k = int(k0)
-    while unresolved:
-        caps = {}
-        windows = {}
-        want = set()
-        for p in unresolved:
-            cap = min(k, lens[p])           # never search beyond len(query)
-            caps[p] = cap
-            lo = int(np.searchsorted(lens, lens[p] - cap, side="left"))
-            hi = int(np.searchsorted(lens, lens[p] + cap, side="right"))
-            if depth is not None:
-                lo = max(lo, p - depth)
-                hi = min(hi, p + depth + 1)
-            windows[p] = (lo, hi)
-            for q in range(lo, hi):
-                if q != p:
-                    a, b = (p, q) if p < q else (q, p)
-                    if (a, b) not in pair_cache:
-                        want.add((a, b))
+    while unresolved.size:
+        caps_all = np.minimum(k, lens[unresolved])
+        lo_all = np.searchsorted(lens, lens[unresolved] - caps_all, "left")
+        hi_all = np.searchsorted(lens, lens[unresolved] + caps_all, "right")
+        if depth is not None:
+            lo_all = np.maximum(lo_all, unresolved - depth)
+            hi_all = np.minimum(hi_all, unresolved + depth + 1)
+        capfull = np.zeros(n, np.int64)
+        capfull[unresolved] = caps_all
 
-        want = sorted(want)
-        if want:
-            pairs = [(seqs[order[a]], seqs[order[b]]) for a, b in want]
-            kcap = [min(int(max(caps.get(a, 0), caps.get(b, 0))), k)
-                    for a, b in want]
-            eds, _ = engine.edit_distances(pairs, k_cap=kcap)
-            for (a, b), d in zip(want, eds):
-                if d >= 0:
-                    pair_cache[(a, b)] = int(d)
+        # process queries in slabs so the flattened window arrays stay
+        # bounded; the cache carries certified results across slabs/rounds
+        still: List[np.ndarray] = []
+        s = 0
+        while s < unresolved.size:
+            e = s + 1
+            entries = int(hi_all[s] - lo_all[s])
+            while e < unresolved.size and entries < _SLAB_ENTRIES:
+                entries += int(max(hi_all[e] - lo_all[e], 0))
+                e += 1
+            sl = slice(s, e)
+            s = e
+            qrep, tgt, caprep, cum, counts = _window_entries(
+                unresolved[sl], caps_all[sl], lo_all[sl], hi_all[sl])
+            a = np.minimum(qrep, tgt)
+            b = np.maximum(qrep, tgt)
+            wkeys = a * n + b
+            self_mask = tgt != qrep
 
-        still = []
-        for p in unresolved:
-            lo, hi = windows[p]
-            cap = caps[p]
-            best = None
-            for q in range(lo, hi):
-                if q == p:
-                    continue
-                key = (p, q) if p < q else (q, p)
-                d = pair_cache.get(key)
-                if d is None or d <= 0 or d > cap:
-                    continue
-                if best is None or d < best:
-                    best = d
-            if best is not None:
-                ties = {}
-                for q in range(lo, hi):
-                    if q == p:
-                        continue
-                    key = (p, q) if p < q else (q, p)
-                    if pair_cache.get(key) == best:
-                        ties[int(order[q])] = best
-                out[int(order[p])] = ties
-            elif cap >= lens[p]:
-                pass  # isolated: nothing within len(query); empty dict stays
-            else:
-                still.append(p)
-        unresolved = [p for p in still]
+            ukeys = np.unique(wkeys[self_mask])
+            have, _v = cache.lookup(ukeys)
+            newkeys = ukeys[~have]
+            if newkeys.size:
+                na = newkeys // n
+                nb = newkeys % n
+                kcap = np.minimum(np.maximum(capfull[na], capfull[nb]), k)
+                pairs = [(seqs[order[x]], seqs[order[y]])
+                         for x, y in zip(na, nb)]
+                eds, _ = engine.edit_distances(pairs, k_cap=kcap)
+                eds = np.asarray(eds)
+                good = eds >= 0
+                cache.insert(newkeys[good], eds[good])
+
+            present, vals = cache.lookup(wkeys)
+            v = np.where(
+                present & self_mask & (vals > 0) & (vals <= caprep),
+                vals.astype(np.int64), _BIG)
+            best = np.minimum.reduceat(np.concatenate([v, [_BIG]]), cum)[
+                : len(counts)]
+            best[counts == 0] = _BIG
+            found = best < _BIG
+
+            tie_mask = (v == np.repeat(best, counts)) \
+                & np.repeat(found, counts)
+            tq = qrep[tie_mask]
+            tt = tgt[tie_mask]
+            tv = v[tie_mask]
+            oq = order[tq]
+            ot = order[tt]
+            for qi, ti, vi in zip(oq.tolist(), ot.tolist(), tv.tolist()):
+                out[qi][ti] = int(vi)
+
+            caps = caps_all[sl]
+            usl = unresolved[sl]
+            still.append(usl[~found & (caps < lens[usl])])
+
+        unresolved = (np.concatenate(still) if still
+                      else np.empty(0, np.int64))
         if k >= int(lens.max()):
             break
         k *= 2
@@ -152,69 +210,83 @@ def nearest_neighbors_2set(
     t_lens = np.array([len(s) for s in t_seqs], dtype=np.int64)
     t_order = np.argsort(t_lens, kind="stable")
     t_lens_sorted = t_lens[t_order]
+    nt = len(t_accs)
 
     out: Dict[str, Dict[str, int]] = {}
     q_accs = sorted(queries)
-    unresolved = list(range(len(q_accs)))
+    q_lens = np.array([len(queries[a]) for a in q_accs], dtype=np.int64)
     for qa in q_accs:
         out[qa] = {}
     if not t_accs:
         return out
 
-    cache: Dict[tuple, int] = {}
+    cache = _PairCache()
+    unresolved = np.arange(len(q_accs), dtype=np.int64)
     k = int(k0)
-    while unresolved:
-        want = []
-        windows = {}
-        caps = {}
-        for qi in unresolved:
-            qs = queries[q_accs[qi]]
-            cap = min(k, len(qs))
-            caps[qi] = cap
-            lo = int(np.searchsorted(t_lens_sorted, len(qs) - cap, "left"))
-            hi = int(np.searchsorted(t_lens_sorted, len(qs) + cap, "right"))
-            if depth is not None:
-                mid = int(np.searchsorted(t_lens_sorted, len(qs)))
-                lo = max(lo, mid - depth)
-                hi = min(hi, mid + depth)
-            windows[qi] = (lo, hi)
-            for tpos in range(lo, hi):
-                if (qi, tpos) not in cache:
-                    want.append((qi, tpos))
-        if want:
-            pairs = [
-                (queries[q_accs[qi]], t_seqs[int(t_order[tpos])])
-                for qi, tpos in want
-            ]
-            kcap = [caps[qi] for qi, _ in want]
-            eds, _ = engine.edit_distances(pairs, k_cap=kcap)
-            for (qi, tpos), d in zip(want, eds):
-                if d >= 0:
-                    cache[(qi, tpos)] = int(d)
+    k_stop = int(t_lens.max()) + int(q_lens.max())
+    while unresolved.size:
+        caps_all = np.minimum(k, q_lens[unresolved])
+        lo_all = np.searchsorted(t_lens_sorted, q_lens[unresolved] - caps_all,
+                                 "left")
+        hi_all = np.searchsorted(t_lens_sorted, q_lens[unresolved] + caps_all,
+                                 "right")
+        if depth is not None:
+            mid = np.searchsorted(t_lens_sorted, q_lens[unresolved])
+            lo_all = np.maximum(lo_all, mid - depth)
+            hi_all = np.minimum(hi_all, mid + depth)
 
-        still = []
-        for qi in unresolved:
-            lo, hi = windows[qi]
-            cap = caps[qi]
-            vals = [
-                cache[(qi, tpos)]
-                for tpos in range(lo, hi)
-                if (qi, tpos) in cache and cache[(qi, tpos)] <= cap
-            ]
-            if vals:
-                best = min(vals)
-                ties = {
-                    t_accs[int(t_order[tpos])]: best
-                    for tpos in range(lo, hi)
-                    if cache.get((qi, tpos)) == best
-                }
-                out[q_accs[qi]] = ties
-            elif cap >= len(queries[q_accs[qi]]):
-                pass  # isolated
-            else:
-                still.append(qi)
-        unresolved = still
-        if k > int(t_lens.max()) + max(len(queries[a]) for a in q_accs):
+        still: List[np.ndarray] = []
+        s = 0
+        while s < unresolved.size:
+            e = s + 1
+            entries = int(max(hi_all[s] - lo_all[s], 0))
+            while e < unresolved.size and entries < _SLAB_ENTRIES:
+                entries += int(max(hi_all[e] - lo_all[e], 0))
+                e += 1
+            sl = slice(s, e)
+            s = e
+            qrep, tgt, caprep, cum, counts = _window_entries(
+                unresolved[sl], caps_all[sl], lo_all[sl], hi_all[sl])
+            wkeys = qrep * nt + tgt
+
+            have, _v = cache.lookup(wkeys)
+            newkeys = np.unique(wkeys[~have])
+            if newkeys.size:
+                nq = newkeys // nt
+                ntt = newkeys % nt
+                pairs = [
+                    (queries[q_accs[x]], t_seqs[int(t_order[y])])
+                    for x, y in zip(nq, ntt)
+                ]
+                kcap = np.minimum(q_lens[nq], k)
+                eds, _ = engine.edit_distances(pairs, k_cap=kcap)
+                eds = np.asarray(eds)
+                good = eds >= 0
+                cache.insert(newkeys[good], eds[good])
+
+            present, vals = cache.lookup(wkeys)
+            v = np.where(present & (vals <= caprep),
+                         vals.astype(np.int64), _BIG)
+            best = np.minimum.reduceat(np.concatenate([v, [_BIG]]), cum)[
+                : len(counts)]
+            best[counts == 0] = _BIG
+            found = best < _BIG
+
+            tie_mask = (v == np.repeat(best, counts)) \
+                & np.repeat(found, counts)
+            tq = qrep[tie_mask]
+            tt = tgt[tie_mask]
+            tv = v[tie_mask]
+            for qi, ti, vi in zip(tq.tolist(), tt.tolist(), tv.tolist()):
+                out[q_accs[qi]][t_accs[int(t_order[ti])]] = int(vi)
+
+            caps = caps_all[sl]
+            usl = unresolved[sl]
+            still.append(usl[~found & (caps < q_lens[usl])])
+
+        unresolved = (np.concatenate(still) if still
+                      else np.empty(0, np.int64))
+        if k > k_stop:
             break
         k *= 2
     return out
