@@ -49,6 +49,7 @@ SCAL = 128   # lane width for per-pair scalar planes
 
 NEGI = np.int32(NEG)     # same floor value as the int16 scan kernel
 ACC_EMPTY = np.int32(-(2 ** 30))  # "no endpoint seen" (< NEG << SB)
+EDGE_NEG = np.int32(2 ** 28)      # roll-edge mask folded into gap penalties
 
 
 def _geometry(Wp: int, L: int, B: int):
@@ -82,7 +83,7 @@ def _geometry(Wp: int, L: int, B: int):
 def _fwd_kernel(winq_ref, wint_ref, qref_ref, tref_ref, qlen_ref, tlen_ref,
                 ma_ref, mi_ref, go_ref, ge_ref, dirs_ref, acol_out, arow_out,
                 h1_ref, h0_ref, e1_ref, f1_ref, wq_ref, wt_ref,
-                acol_ref, arow_ref,
+                acol_ref, arow_ref, goL_ref, geL_ref, goU_ref, geU_ref,
                 *, L: int, Wp: int, CH: int, BB: int, SB: int, CB: int):
     """One (pair_block, diag_chunk) grid step of the forward DP.
 
@@ -127,6 +128,16 @@ def _fwd_kernel(winq_ref, wint_ref, qref_ref, tref_ref, qlen_ref, tlen_ref,
         f1_ref[:] = jnp.full((BB, Wp), NEGI, jnp.int32)
         acol_ref[:] = jnp.full((BB, Wp), ACC_EMPTY, jnp.int32)
         arow_ref[:] = jnp.full((BB, Wp), ACC_EMPTY, jnp.int32)
+        # gap penalties with the roll-edge masks folded in: subtracting
+        # these replaces a where(lane==edge, NEG, rolled) per parent --
+        # edge lanes land ~NEG2 and lose every max, exactly like the
+        # explicit masks (the H floor then pins stored values)
+        edge0 = jnp.where(lane_iota == 0, EDGE_NEG, 0)
+        edgeW = jnp.where(lane_iota == Wp - 1, EDGE_NEG, 0)
+        goL_ref[:] = go + edge0
+        geL_ref[:] = ge + edge0
+        goU_ref[:] = go + edgeW
+        geU_ref[:] = ge + edgeW
 
     def make_step(boundary, endscan):
       def step(s, _):
@@ -140,21 +151,17 @@ def _fwd_kernel(winq_ref, wint_ref, qref_ref, tref_ref, qlen_ref, tlen_ref,
 
         # E: parents at (i, j-1) = diag d-1, offset o-1
         h_left = pltpu.roll(H1, shift=1, axis=1)
-        h_left = jnp.where(lane_iota == 0, NEGI, h_left)
         e_left = pltpu.roll(e1_ref[:], shift=1, axis=1)
-        e_left = jnp.where(lane_iota == 0, NEGI, e_left)
-        e_open = h_left - go
-        e_ext = e_left - ge
+        e_open = h_left - goL_ref[:]
+        e_ext = e_left - geL_ref[:]
         E = jnp.maximum(e_open, e_ext)
         e_opened = (e_open >= e_ext).astype(jnp.int32)
 
         # F: parents at (i-1, j) = diag d-1, offset o+1
         h_up = pltpu.roll(H1, shift=Wp - 1, axis=1)
-        h_up = jnp.where(lane_iota == Wp - 1, NEGI, h_up)
         f_up = pltpu.roll(f1_ref[:], shift=Wp - 1, axis=1)
-        f_up = jnp.where(lane_iota == Wp - 1, NEGI, f_up)
-        f_open = h_up - go
-        f_ext = f_up - ge
+        f_open = h_up - goU_ref[:]
+        f_ext = f_up - geU_ref[:]
         F = jnp.maximum(f_open, f_ext)
         f_opened = (f_open >= f_ext).astype(jnp.int32)
 
@@ -461,6 +468,10 @@ def sg_align_with_ops_pallas(qcodes, tcodes, qlen, tlen, match, mismatch,
             pltpu.VMEM((BB, Wp + 128), jnp.int32),  # wt
             pltpu.VMEM((BB, Wp), jnp.int32),        # acol accumulator
             pltpu.VMEM((BB, Wp), jnp.int32),        # arow accumulator
+            pltpu.VMEM((BB, Wp), jnp.int32),        # goL (edge-masked)
+            pltpu.VMEM((BB, Wp), jnp.int32),        # geL
+            pltpu.VMEM((BB, Wp), jnp.int32),        # goU
+            pltpu.VMEM((BB, Wp), jnp.int32),        # geU
         ],
         # wide-band escalation shapes (Wp >= 1024) exceed the default 16 MB
         # scoped-vmem budget; the v5e core has far more physical VMEM

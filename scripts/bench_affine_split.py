@@ -136,6 +136,8 @@ def fwd_only(pool_flat, plen, ia, ib, match, mismatch, gopen, gext,
             pltpu.VMEM((BB, Wp + 128), jnp.int32),
             pltpu.VMEM((BB, Wp + 128), jnp.int32),
             pltpu.VMEM((BB, Wp), jnp.int32), pltpu.VMEM((BB, Wp), jnp.int32),
+            pltpu.VMEM((BB, Wp), jnp.int32), pltpu.VMEM((BB, Wp), jnp.int32),
+            pltpu.VMEM((BB, Wp), jnp.int32), pltpu.VMEM((BB, Wp), jnp.int32),
         ],
     )(winq, wint, QP, TP, scal(qlen), scal(tlen), scal(match),
       scal(mismatch), scal(gopen), scal(gext))
