@@ -105,7 +105,8 @@ def test_local_pallas_pool_paths_fused_collect():
 
     fast = PairEngine(batch_pairs=128, use_pallas=True, ed_batch=512,
                       interpret=True)
-    fast.pallas_L0 = 256
+    fast.native_cpu = False   # force the kernel paths (CPU default is the
+    fast.pallas_L0 = 256      # native C++ fast path, which would bypass them)
     fast.batch_pairs = 256
     local = PairEngine(batch_pairs=16)
 
@@ -117,6 +118,12 @@ def test_local_pallas_pool_paths_fused_collect():
     a1 = local.align_pairs(pairs, scores)
     a2 = fast.align_pairs(pairs, scores)
     assert a1 == a2
+
+    # pooled wavefront path: HW (infix) mode ships pool indices too
+    hw1, ej1 = local.edit_distances(pairs, hw_mode=True)
+    hw2, ej2 = fast.edit_distances(pairs, hw_mode=True)
+    np.testing.assert_array_equal(hw1, hw2)
+    np.testing.assert_array_equal(ej1, ej2)
 
 
 def _noisy_copy(rng, s, error_rate):
