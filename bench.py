@@ -115,12 +115,13 @@ def bench_cpu(q, t, qlen, tlen):
 
 def bench_affine(q, t, qlen, tlen):
     """Pooled affine SG alignment + traceback throughput, device-resident
-    inputs (the engine's pallas1 path geometry: Wp=256, L=2048, B=512)."""
+    inputs (the engine's pallas1 path geometry: Wp=256, L=2048, B=2048 --
+    the accelerator batch floor; see scripts/bench_affine_batch.py)."""
     import jax
     import jax.numpy as jnp
     from isocon_tpu.ops.affine_pallas import sg_align_pool_pallas
 
-    B = 512
+    B = 2048
     U = 1024
     pool = np.full((U, L), 6, dtype=np.int8)
     plen = np.ones(U, dtype=np.int32)
@@ -160,7 +161,7 @@ def bench_e2e_n200():
     t0 = time.perf_counter()
     r = subprocess.run(
         [sys.executable, "-m", "isocon_tpu.cli", "pipeline",
-         "-fl_reads", reads, "-outfolder", out, "--batch_pairs", "512"],
+         "-fl_reads", reads, "-outfolder", out],
         capture_output=True, text=True,
     )
     dt = time.perf_counter() - t0

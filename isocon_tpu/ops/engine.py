@@ -107,7 +107,11 @@ class _SeqPool:
         cap = 4096
         self.mat = np.full((cap, L), 6, dtype=np.int8)
         self.lens = np.ones(cap, dtype=np.int32)
-        self.n = 0
+        # row 0 is a reserved length-1 sentinel: batch-padding entries
+        # (index 0) then reference a trivially short pair, so dummy-filled
+        # grid blocks terminate at the kernels' dynamic early-exit instead
+        # of sweeping a real interned sequence's full diagonal range
+        self.n = 1
         self.version = 0
         self._dev = None  # (version, padded_rows, dev_mat, dev_lens)
         self._dev_rows = 0  # rows already valid in the device buffer
@@ -214,10 +218,17 @@ class PairEngine:
 
                 self.native_cpu = native_available()
         if use_pallas:
-            # the affine scan's cost is per-step, not per-pair: bigger align
-            # batches are nearly free, and fewer device calls amortize the
-            # fixed per-call latency
-            self.batch_pairs = batch_pairs = max(batch_pairs, 512)
+            # the affine call has ~26 ms fixed cost (tunnel RTT + dispatch)
+            # vs ~68 us/pair marginal (measured, scripts/bench_affine_batch.py:
+            # 8.5k pairs/s at B=512 -> 12.2k at B=2048), and dummy-padded
+            # 256-pair grid blocks are skipped by the dynamic early-exit, so
+            # a big fixed batch shape is cheap even when partially filled.
+            # CPU keeps the smaller floor: the lax.scan/interpret kernels
+            # there pay per-pair, and tests run on that backend.
+            import jax
+
+            floor = 2048 if jax.default_backend() != "cpu" else 512
+            self.batch_pairs = batch_pairs = max(batch_pairs, floor)
         if ed_batch is None:
             # the Myers kernel amortizes its fixed dispatch cost over many
             # sequential grid blocks; big distance batches are nearly free
@@ -668,20 +679,36 @@ class PairEngine:
             launched = []
             for (Lb, Wp), idxs in sorted(buckets.items()):
                 # cap the batch so the on-device direction planes
-                # (B x 2L x Wp bytes) stay within ~2 GB of HBM
-                cap = int(2e9 // (2 * Lb * Wp))
+                # (B x 2L x Wp bytes) stay within ~4 GB of the 16 GB HBM
+                # (2 GB at the default L=2048/Wp=256 geometry -- measured OK)
+                cap = int(4e9 // (2 * Lb * Wp))
                 bchunk = max(128, min(self.batch_pairs,
                                       1 << max(7, cap.bit_length() - 1)))
                 if self.sharder is not None:
                     # per-shard batches must satisfy the kernel's B % 128
                     grain = 128 * self.sharder.n
                     bchunk = -(-bchunk // grain) * grain
+                # small chunks (and final tails) drop to a smaller padded
+                # shape: the fused opcode download is O(Bp) bytes and the
+                # dummy-padded kernel blocks are skipped, so the big shape
+                # only pays off when it is mostly full.  Power-of-two Bp
+                # keeps the compiled-shape set at {512, 1024, 2048} per
+                # (L, Wp) bucket on accelerator.
+                floor_bp = 512 if self.use_pallas else 128
+                grain = 1
+                if self.sharder is not None:
+                    grain = 128 * self.sharder.n
+                    floor_bp = max(floor_bp, grain)
                 for s in range(0, len(idxs), bchunk):
                     chunk = idxs[s : s + bchunk]
+                    Bp = bchunk
+                    while (Bp // 2 >= max(floor_bp, len(chunk))
+                           and (Bp // 2) % grain == 0):
+                        Bp //= 2
                     launched.append(
                         (chunk, Wp, Lb,
                          self._launch_align(pairs, scores, chunk, Lb, Wp,
-                                            bchunk))
+                                            Bp))
                     )
             for chunk, Wp, Lb, handle in launched:
                 self._collect_align(pairs, chunk, Lb, Wp, handle, out,
