@@ -68,7 +68,17 @@ def make_engine(params) -> PairEngine:
         from .parallel.sharding import Sharder
 
         sharder = Sharder(params.device_mesh)
-    return PairEngine(batch_pairs=params.batch_pairs, sharder=sharder)
+    # Hermetic accelerator-path testing: ISOCON_USE_PALLAS=1 forces the
+    # pooled Pallas kernels (with ISOCON_PALLAS_INTERPRET=1 running them
+    # in interpret mode so the full accelerator code path exercises on a
+    # CPU-only host -- how /verify drives kernel changes end-to-end).
+    use_pallas = params.use_pallas
+    if os.environ.get("ISOCON_USE_PALLAS") == "1":
+        use_pallas = True
+    return PairEngine(
+        batch_pairs=params.batch_pairs, sharder=sharder,
+        use_pallas=use_pallas,
+        interpret=os.environ.get("ISOCON_PALLAS_INTERPRET") == "1")
 
 
 @contextlib.contextmanager

@@ -771,9 +771,19 @@ class PairEngine:
                 outs = self.sharder.sg_align_pool(
                     dev_mat, dev_lens, ia, ib, ma, mi, go, ge, Wp=Wp, L=Lb)
                 return ("pallas", tuple(outs))
+            import os
+
             from .affine_pallas import sg_align_pool_pallas
 
-            (buf,) = sg_align_pool_pallas(
+            align_fn = sg_align_pool_pallas
+            if (os.environ.get("ISOCON_AFFINE_COMPACT", "0") != "0"
+                    and Lb % 128 == 0 and Wp % 256 == 0 and Bp % 2 == 0):
+                # compacted-parity kernel (affine_pallas_c): every lane
+                # live, 2 pairs per plane -- opt-in until TPU-validated
+                from .affine_pallas_c import sg_align_pool_pallas_c
+
+                align_fn = sg_align_pool_pallas_c
+            (buf,) = align_fn(
                 dev_mat, dev_lens, ia, ib, ma, mi, go, ge, Wp=Wp, L=Lb,
                 fuse_out=True, interpret=self.interpret)
             return ("pallas1", (buf, Bp))
