@@ -67,6 +67,15 @@ def _geometry(Wp: int, L: int, G: int):
     BB = min(BB, G)
     while G % BB:
         BB //= 2
+    # env overrides must preserve the kernel's cadence invariants: the
+    # window refill fires every 256 diagonals (group = 256 // CHF needs
+    # 256 % CHF == 0) and the walk's ops output block index is
+    # (c * CHW) // 128, which only tiles when CHW and 128 divide evenly.
+    assert CHF >= 2 and CHF % 2 == 0 and 256 % CHF == 0, (
+        "ISOCON_AFFINE_CH must be an even divisor of 256, got %d" % CHF)
+    assert (128 % CHW == 0) or (CHW % 128 == 0), (
+        "ISOCON_AFFINE_CHW must divide 128 or be a multiple of 128, "
+        "got %d" % CHW)
     return BB, CHF, CHW
 
 
@@ -525,6 +534,9 @@ def sg_align_with_ops_pallas_c(qcodes, tcodes, qlen, tlen, match, mismatch,
         jnp.pad(sc[:, 2:4], ((0, 0), (0, SCAL - 2))),
     ], axis=1)
 
+    assert S % CHW == 0, (
+        "walk chunk %d does not divide the step count %d "
+        "(bad ISOCON_AFFINE_CHW override)" % (CHW, S))
     nchunks_w = S // CHW
     opsa, opsb, stf = pl.pallas_call(
         functools.partial(_walk_kernel, Wp=Wp, CH=CHW, BB=BB, S=S),

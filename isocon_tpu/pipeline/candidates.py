@@ -17,8 +17,33 @@ from ..graph.partition import star_partition
 from ..correct.consensus import correct_strings
 from ..alnutils import filter_exon_differences
 from ..io import read_fasta, read_fastx
-from ..io.output import logger, print_candidates_from_nearest_neighbors
+from ..io.output import devlog, logger, print_candidates_from_nearest_neighbors
 from .alignments import align_pair_list
+
+
+def _log_iteration_telemetry(params, step, S, seq_to_acc, edges,
+                             partition_alignments, exon_filtered):
+    """Per-iteration diagnostics matching the reference's verbosity
+    (``isocon_get_candidates.py:109-123,193-199`` prints + the
+    seq-length histogram written to the develop log at ``:116-118``)."""
+    lengths = sorted(len(s) for s in seq_to_acc)
+    logger(
+        "Iteration {0}: {1} reads, {2} unique seqs, {3} NN edges, "
+        "{4} partitions, lengths {5}-{6}, {7} exon-filtered".format(
+            step, len(S), len(seq_to_acc), len(edges),
+            len(partition_alignments), lengths[0] if lengths else 0,
+            lengths[-1] if lengths else 0, len(exon_filtered)),
+        params.logfile,
+    )
+    if params.verbose:
+        hist = Counter(lengths)
+        for l in sorted(hist):
+            devlog(params, "seq length {0}: {1} occurances".format(
+                l, hist[l]))
+        sizes = sorted(
+            (len(v) for v in partition_alignments.values()), reverse=True)
+        devlog(params, "iteration {0} partition sizes (desc): {1}".format(
+            step, sizes[:50]))
 
 
 def get_unique_seq_accessions(S: Dict[str, str]) -> Dict[str, list]:
@@ -131,6 +156,8 @@ def find_candidate_transcripts(read_file: str, params, engine):
     partition_alignments = get_partition_alignments(
         partition, M, degrees, exon_filtered, params, engine
     )
+    _log_iteration_telemetry(params, step, S, seq_to_acc, edges,
+                             partition_alignments, exon_filtered)
 
     prev_ed_2steps_ago = [2 ** 28, 2 ** 28, 2 ** 28]
     prev_ed = [2 ** 28]
@@ -166,6 +193,8 @@ def find_candidate_transcripts(read_file: str, params, engine):
         partition_alignments = get_partition_alignments(
             partition, M, degrees, exon_filtered, params, engine
         )
+        _log_iteration_telemetry(params, step, S, seq_to_acc, edges,
+                                 partition_alignments, exon_filtered)
         if params.outfolder:
             out_name = os.path.join(
                 params.outfolder, "candidates_step_" + str(step) + ".fa"

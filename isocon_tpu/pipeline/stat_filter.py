@@ -22,7 +22,7 @@ from ..graph.nn import nearest_neighbors_2set
 from ..graph.partition import greedy_bipartite_assignment
 from ..io import read_fasta, read_fastx
 from ..io.ccs import CCS, ccs_dict_from_bam, ccs_dict_from_fastq
-from ..io.output import logger, print_candidates
+from ..io.output import devlog, logger, print_candidates
 from ..stats.test import do_statistical_tests_per_edge
 from .alignments import align_pair_list
 
@@ -200,6 +200,17 @@ def stat_filter_candidates(read_file, candidate_file, read_partition,
                 del nn_graph[c_a][t_a]
 
         nr_tests = sum(len(v) for v in nn_graph.values())
+        nr_memoized = sum(
+            len(v) for v in previous_significance_values.values())
+        # per-step test telemetry (the reference's STEP NR banner +
+        # edge/test prints, ``isocon_statistical_test.py:250,340,509``)
+        logger(
+            "stat_filter STEP NR {0}: {1} candidates, {2} new tests, "
+            "{3} memoized, {4} reads realigned".format(
+                step, len(C), nr_tests, nr_memoized,
+                len(to_realign)),
+            params.logfile,
+        )
         if nr_tests > 0:
             new_significance = do_statistical_tests_per_edge(
                 nn_graph, C, read_partition, ccs_dict, params, engine
@@ -278,6 +289,27 @@ def stat_filter_candidates(read_file, candidate_file, read_partition,
                 "w",
             ) as fh:
                 fh.write("\n".join(pv_rows) + ("\n" if pv_rows else ""))
+
+        if params.verbose:
+            # per-edge corrected p-values into the develop log, mirroring
+            # the reference's verbose p-value prints
+            # (``isocon_statistical_test.py:430-436``)
+            for c_acc, (c_a, t_acc, p_value, factor, k, N_t, variants) in (
+                sorted(highest_significance_values.items())
+            ):
+                if p_value == "not_tested":
+                    devlog(params, "step {0} {1}: not tested (support {2})"
+                           .format(step, c_acc, N_t))
+                else:
+                    devlog(
+                        params,
+                        "step {0} {1} vs {2}: p={3} mult={4} k={5} N_t={6} "
+                        "variants={7}".format(
+                            step, c_acc, t_acc, p_value, factor, k, N_t,
+                            len(variants)),
+                    )
+            devlog(params, "step {0} threshold {1} ({2} tested)".format(
+                step, p_val_threshold, len(corrected_pvals)))
 
         previous_partition_of_X = copy.deepcopy(read_partition)
         step += 1

@@ -11,9 +11,12 @@ dummy big-shape call still pays the full download -- the engine drops
 small chunks to the smaller {512, 1024} shapes (engine.align_pairs).
 
 Usage: python scripts/bench_affine_batch.py [B ...]
+Set ISOCON_AFFINE_COMPACT=1 to benchmark the compacted-parity kernel
+(affine_pallas_c) instead of v2.
 """
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -30,7 +33,14 @@ def main():
     import jax
     from isocon_tpu.io import read_fasta
     from isocon_tpu.ops.encode import encode_seq
-    from isocon_tpu.ops.affine_pallas import sg_align_pool_pallas
+
+    if os.environ.get("ISOCON_AFFINE_COMPACT", "0") != "0":
+        from isocon_tpu.ops.affine_pallas_c import (
+            sg_align_pool_pallas_c as sg_align_pool_pallas)
+        print("kernel: compacted-parity (affine_pallas_c)")
+    else:
+        from isocon_tpu.ops.affine_pallas import sg_align_pool_pallas
+        print("kernel: v2 (affine_pallas)")
 
     Bs = [int(x) for x in sys.argv[1:]] or [512, 1024, 2048]
     seqs = [s for _a, s in read_fasta(READS) if 1200 <= len(s) <= L]

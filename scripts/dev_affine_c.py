@@ -36,7 +36,7 @@ for name, rv, gv in (("ov", r_ov, g_ov), ("best", r_best, g_best),
     ok = ~r_ov if name != "ov" else np.ones(B, bool)
     n = int((np.asarray(rv)[ok] != np.asarray(gv)[ok]).sum())
     if n:
-        idx = np.nonzero(np.asarray(rv) != np.asarray(gv))[0][:8]
+        idx = np.nonzero((np.asarray(rv) != np.asarray(gv)) & ok)[0][:8]
         print(f"{name}: {n} mismatches, first idx {idx.tolist()}",
               [(int(np.asarray(rv)[i]), int(np.asarray(gv)[i]))
                for i in idx[:4]])

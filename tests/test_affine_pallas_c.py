@@ -68,6 +68,22 @@ def test_affine_pallas_c_wide_band():
     _check(pairs, B, L, Wp)
 
 
+def test_affine_pallas_c_wp1024_geometry():
+    # Wp=1024 flips _geometry to CHF=8/CHW=16; pin that path too.
+    rng = random.Random(31)
+    B, L, Wp = 16, 512, 1024
+    pairs = make_pairs(rng, B, L)
+    _check(pairs, B, L, Wp)
+
+
+def test_affine_pallas_c_multi_refill():
+    # L=512 -> 1023 diagonals -> multiple 256-step window refills.
+    rng = random.Random(13)
+    B, L, Wp = 32, 512, 256
+    pairs = make_pairs(rng, B, L)
+    _check(pairs, B, L, Wp)
+
+
 def test_affine_pool_c_packed_matches():
     rng = random.Random(23)
     B, L, Wp = 128, 256, 256
