@@ -335,7 +335,7 @@ class PairEngine:
             # (and all rounds share the same device-resident pools)
             myers_ok = (self.use_pallas and self.myers_sub >= 8
                         and not hw_mode and Wp in _MYERS_WIN)
-            pool_ok = myers_ok or (self.use_pallas and self.sharder is None)
+            pool_ok = myers_ok or self.use_pallas
             buckets: dict = {}
             for i in rest:
                 a, b = pairs[i]
@@ -548,9 +548,14 @@ class PairEngine:
             nchunk = -(-B // 128)
             Bp = (1 << (nchunk - 1).bit_length()) * 128
         small = Wp <= 192  # int8 state: 2x VPU width; larger bands need int16
-        if self.use_pallas and self.sharder is None:
+        if self.use_pallas:
             # pooled wavefront path (HW mode + bands beyond the Myers
-            # windows): gather on device, ship only int32 indices
+            # windows): gather on device, ship only int32 indices.  Under a
+            # sharder the pool is replicated and the index vectors are
+            # sharded — no host-assembled [B, L] planes on any sharded call.
+            if self.sharder is not None:
+                mult = self.sharder.n * (128 if Wp == 128 else 1)
+                Bp = -(-Bp // mult) * mult
             pool = self._pools.get(Lb)
             if pool is None:
                 pool = self._pools[Lb] = _SeqPool(Lb)
@@ -563,14 +568,19 @@ class PairEngine:
                 ia[pos] = pool.intern(a, self._enc)
                 ib[pos] = pool.intern(b, self._enc)
                 qlen[pos], tlen[pos] = len(a), len(b)
-            from .wavefront import banded_ed_pool
-
             use_pl = Wp == 128 and Lb % 64 == 0 and Bp % 128 == 0
-            dev_mat, dev_lens = pool.device_arrays()
-            ed, ej = banded_ed_pool(
-                dev_mat, dev_lens, ia, ib, Wp=Wp, L=Lb, hw_mode=hw_mode,
-                small=small, kernel="pallas" if use_pl else "scan",
-                interpret=self.interpret)
+            dev_mat, dev_lens = pool.device_arrays(self._pool_sharding())
+            if self.sharder is not None:
+                ed, ej = self.sharder.banded_ed_pool(
+                    dev_mat, dev_lens, ia, ib, Wp=Wp, L=Lb, hw_mode=hw_mode,
+                    small=small, kernel="pallas" if use_pl else "scan")
+            else:
+                from .wavefront import banded_ed_pool
+
+                ed, ej = banded_ed_pool(
+                    dev_mat, dev_lens, ia, ib, Wp=Wp, L=Lb, hw_mode=hw_mode,
+                    small=small, kernel="pallas" if use_pl else "scan",
+                    interpret=self.interpret)
             return ("wave", small), B, ed, ej, qlen, tlen
 
         q = np.full((Bp, Lb), 5, dtype=np.int8)

@@ -101,6 +101,34 @@ class Sharder:
         assert ia.shape[0] % (128 * self.n) == 0
         return fn(pool_flat, plen, ia, ib, ma, mi, go, ge)
 
+    def banded_ed_pool(self, pool_flat, plen, ia, ib, *, Wp: int, L: int,
+                       hw_mode: bool = False, small: bool = False,
+                       kernel: str = "scan"):
+        """Pool-gather banded wavefront ED (HW mode + band-escalation
+        widths), pair axis sharded over the mesh with the pool replicated —
+        no host-assembled [B, L] planes cross the link on any sharded ED
+        call (the engine's escalation path stays device-resident)."""
+        key = ("wave_pool", Wp, L, hw_mode, small, kernel)
+        fn = self._jits.get(key)
+        if fn is None:
+            from ..ops.wavefront import banded_ed_pool
+
+            interp = self.interpret
+
+            @functools.partial(
+                shard_map, mesh=self.mesh,
+                in_specs=(P(), P(), P(self.axis), P(self.axis)),
+                out_specs=(P(self.axis), P(self.axis)), check_rep=False,
+            )
+            def run(pf, pl_, ias, ibs):
+                return banded_ed_pool(pf, pl_, ias, ibs, Wp=Wp, L=L,
+                                      hw_mode=hw_mode, small=small,
+                                      kernel=kernel, interpret=interp)
+
+            fn = self._jits[key] = jax.jit(run)
+        assert ia.shape[0] % self.n == 0
+        return fn(pool_flat, plen, ia, ib)
+
     def _pad(self, arr, B_pad):
         if arr.shape[0] == B_pad:
             return arr

@@ -92,6 +92,45 @@ def test_sharded_pallas_pool_paths():
     assert a1 == a2
 
 
+@needs_2_devices
+def test_sharded_pooled_wavefront_hw_and_escalation():
+    """HW-mode and band-escalation batches stay on the pooled
+    device-resident path under a sharder (pool replicated, index vectors
+    sharded): results must match the local engine, with no host-assembled
+    [B, L] planes in any sharded ED call."""
+    from isocon_tpu.parallel.mesh import make_mesh
+    from isocon_tpu.parallel.sharding import Sharder
+
+    rng = random.Random(11)
+    pairs = []
+    for _ in range(20):
+        a = rand_seq(rng, rng.randrange(150, 250))
+        b = mutate(rng, a, rng.randrange(0, 12))
+        pairs.append((a, b))
+    # high-divergence pairs: uncertified at Wp=128, forcing a Wp>=256
+    # escalation round through the pooled wavefront
+    for _ in range(4):
+        a = rand_seq(rng, 200)
+        b = mutate(rng, a, 90)
+        pairs.append((a, b))
+
+    sharded = PairEngine(batch_pairs=128, sharder=Sharder(make_mesh(2)),
+                         use_pallas=True, ed_batch=512)
+    sharded.pallas_L0 = 256
+    sharded.batch_pairs = 256
+    sharded.myers_sub = 0     # disable the Myers path: every NW round must
+    local = PairEngine(batch_pairs=16)  # run the pooled wavefront
+
+    ed1, _ = local.edit_distances(pairs)
+    ed2, _ = sharded.edit_distances(pairs)
+    np.testing.assert_array_equal(ed1, ed2)
+
+    hw1, ej1 = local.edit_distances(pairs, hw_mode=True)
+    hw2, ej2 = sharded.edit_distances(pairs, hw_mode=True)
+    np.testing.assert_array_equal(hw1, hw2)
+    np.testing.assert_array_equal(ej1, ej2)
+
+
 def test_local_pallas_pool_paths_fused_collect():
     """The non-sharded engine Pallas fast paths (interpret mode on CPU),
     including the single-buffer fused align download, match the oracle
