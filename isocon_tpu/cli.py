@@ -59,10 +59,21 @@ def make_engine(params) -> PairEngine:
     """Build the pair engine; ``--devices N`` is the rebuild's analog of
     the reference's ``--nr_cores`` (``IsoCon:197``): it builds an N-device
     mesh and shards every kernel batch over it."""
-    if params.device_mesh is None and getattr(params, "devices", 1) > 1:
-        from .parallel.mesh import make_mesh
+    from .parallel.distributed import initialize_from_env
 
-        params.device_mesh = make_mesh(params.devices)
+    multihost = initialize_from_env()  # no-op without ISOCON_COORDINATOR
+    ndev = getattr(params, "devices", 1)
+    if params.device_mesh is None and (ndev > 1 or ndev == -1 or multihost):
+        if ndev == -1 or multihost:
+            # --devices -1: the full global mesh (all devices of all
+            # processes when launched under the multi-host seam)
+            from .parallel.distributed import make_global_mesh
+
+            params.device_mesh = make_global_mesh()
+        else:
+            from .parallel.mesh import make_mesh
+
+            params.device_mesh = make_mesh(ndev)
     sharder = None
     if params.device_mesh is not None:
         from .parallel.sharding import Sharder
@@ -213,7 +224,9 @@ def _add_common(p, with_stats: bool) -> None:
                    help="pairs per device batch (TPU engine)")
     p.add_argument("--devices", type=int, default=1,
                    help="shard kernel batches over an N-device mesh "
-                        "(the reference's --nr_cores analog)")
+                        "(the reference's --nr_cores analog); -1 = all "
+                        "devices of all processes (multi-host: set "
+                        "ISOCON_COORDINATOR/NUM_PROCESSES/PROCESS_ID)")
     p.add_argument("--nontargeted", action="store_true",
                    help="approximate sketch-retrieval candidate search "
                         "(the reference's minimap mode)")

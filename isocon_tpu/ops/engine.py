@@ -76,6 +76,21 @@ def _len_bucket(n: int) -> int:
 _UPD_JITS: dict = {}
 
 
+def _put_replicated(arr, sharding):
+    """device_put that also handles multi-host replicated shardings (every
+    process holds the full host array; non-addressable shards are built
+    via make_array_from_callback)."""
+    import jax
+
+    if sharding is not None and not getattr(
+        sharding, "is_fully_addressable", True
+    ):
+        from ..parallel.distributed import make_array_global
+
+        return make_array_global(arr, sharding)
+    return jax.device_put(arr, sharding)
+
+
 def _pool_delta_update(flat, delta, off):
     """Donating dynamic_update_slice: splice newly interned rows into the
     device-resident pool without re-uploading the whole buffer."""
@@ -168,17 +183,17 @@ class _SeqPool:
                         np.int32(old * self.L),
                     )
                 else:
-                    flat = jax.device_put(
+                    flat = _put_replicated(
                         np.ascontiguousarray(self.mat[:R]).reshape(-1),
                         sharding,
                     )
             else:
-                flat = jax.device_put(
+                flat = _put_replicated(
                     np.ascontiguousarray(self.mat[:R]).reshape(-1), sharding
                 )
             self._dev = (
                 self.version, R, flat,
-                jax.device_put(self.lens[:R], sharding),
+                _put_replicated(self.lens[:R], sharding),
             )
             self._dev_rows = self.n
         return self._dev[2], self._dev[3]

@@ -41,6 +41,10 @@ class Sharder:
         if interpret is None:
             interpret = jax.default_backend() == "cpu"
         self.interpret = interpret
+        # multi-host: results are all-gathered INSIDE shard_map (one tiled
+        # collective per call) so every process reads the full result
+        # locally and the engine's host loops stay unchanged
+        self.multihost = jax.process_count() > 1
         self._jits = {}  # (kind, static...) -> jitted sharded fn
 
     def replicated_sharding(self):
@@ -50,6 +54,35 @@ class Sharder:
         from jax.sharding import NamedSharding
 
         return NamedSharding(self.mesh, P())
+
+    def _outspec(self, batch_axis: int = 0):
+        """Result layout: pair-axis sharded single-host, replicated (post
+        all-gather) multi-host."""
+        if self.multihost:
+            return P()
+        spec = [None] * (batch_axis + 1)
+        spec[batch_axis] = self.axis
+        return P(*spec)
+
+    def _gather(self, out, batch_axis: int = 0):
+        """Inside-shard_map merge matching ``_outspec``."""
+        if self.multihost:
+            return jax.lax.all_gather(out, self.axis, axis=batch_axis,
+                                      tiled=True)
+        return out
+
+    def _shard_in(self, x):
+        """Host numpy -> global array sharded on the pair axis (every
+        process passes the full array; non-addressable shards are built
+        with make_array_from_callback on multi-host)."""
+        if not self.multihost:
+            return x
+        from jax.sharding import NamedSharding
+
+        from .distributed import make_array_global
+
+        return make_array_global(np.asarray(x),
+                                 NamedSharding(self.mesh, P(self.axis)))
 
     def myers_ed_pool(self, pool_flat, plen, ia, ib, *, L: int, sub: int,
                       win: int = 7):
@@ -65,15 +98,16 @@ class Sharder:
             @functools.partial(
                 shard_map, mesh=self.mesh,
                 in_specs=(P(), P(), P(self.axis), P(self.axis)),
-                out_specs=P(self.axis), check_rep=False,
+                out_specs=self._outspec(), check_rep=False,
             )
             def run(pf, pl_, ias, ibs):
-                return myers_ed_pool(pf, pl_, ias, ibs, L=L, sub=sub,
-                                     win=win, interpret=interp)
+                return self._gather(
+                    myers_ed_pool(pf, pl_, ias, ibs, L=L, sub=sub,
+                                  win=win, interpret=interp))
 
             fn = self._jits[key] = jax.jit(run)
         assert ia.shape[0] % self.n == 0
-        return fn(pool_flat, plen, ia, ib)
+        return fn(pool_flat, plen, self._shard_in(ia), self._shard_in(ib))
 
     def sg_align_pool(self, pool_flat, plen, ia, ib, ma, mi, go, ge,
                       *, Wp: int, L: int):
@@ -89,17 +123,19 @@ class Sharder:
             @functools.partial(
                 shard_map, mesh=self.mesh,
                 in_specs=(P(), P()) + tuple([P(self.axis)] * 6),
-                out_specs=(P(None, self.axis), P(self.axis)),
+                out_specs=(self._outspec(1), self._outspec(0)),
                 check_rep=False,
             )
             def run(pf, pl_, ias, ibs, mas, mis, gos, ges):
-                return sg_align_pool_pallas(pf, pl_, ias, ibs, mas, mis,
-                                            gos, ges, Wp=Wp, L=L,
-                                            interpret=interp)
+                scal, packed = sg_align_pool_pallas(
+                    pf, pl_, ias, ibs, mas, mis, gos, ges, Wp=Wp, L=L,
+                    interpret=interp)
+                return self._gather(scal, 1), self._gather(packed, 0)
 
             fn = self._jits[key] = jax.jit(run)
         assert ia.shape[0] % (128 * self.n) == 0
-        return fn(pool_flat, plen, ia, ib, ma, mi, go, ge)
+        return fn(pool_flat, plen, *(self._shard_in(x)
+                                     for x in (ia, ib, ma, mi, go, ge)))
 
     def banded_ed_pool(self, pool_flat, plen, ia, ib, *, Wp: int, L: int,
                        hw_mode: bool = False, small: bool = False,
@@ -118,16 +154,18 @@ class Sharder:
             @functools.partial(
                 shard_map, mesh=self.mesh,
                 in_specs=(P(), P(), P(self.axis), P(self.axis)),
-                out_specs=(P(self.axis), P(self.axis)), check_rep=False,
+                out_specs=(self._outspec(), self._outspec()),
+                check_rep=False,
             )
             def run(pf, pl_, ias, ibs):
-                return banded_ed_pool(pf, pl_, ias, ibs, Wp=Wp, L=L,
-                                      hw_mode=hw_mode, small=small,
-                                      kernel=kernel, interpret=interp)
+                ed, ej = banded_ed_pool(pf, pl_, ias, ibs, Wp=Wp, L=L,
+                                        hw_mode=hw_mode, small=small,
+                                        kernel=kernel, interpret=interp)
+                return self._gather(ed), self._gather(ej)
 
             fn = self._jits[key] = jax.jit(run)
         assert ia.shape[0] % self.n == 0
-        return fn(pool_flat, plen, ia, ib)
+        return fn(pool_flat, plen, self._shard_in(ia), self._shard_in(ib))
 
     def _pad(self, arr, B_pad):
         if arr.shape[0] == B_pad:
@@ -151,15 +189,16 @@ class Sharder:
                 mesh=self.mesh,
                 in_specs=(P(self.axis), P(self.axis), P(self.axis),
                           P(self.axis)),
-                out_specs=(P(self.axis), P(self.axis)),
+                out_specs=(self._outspec(), self._outspec()),
                 check_rep=False,
             )
             def run(qs, ts, qls, tls):
-                return banded_ed(qs, ts, qls, tls, Wp=Wp, L=L,
-                                 hw_mode=hw_mode, small=small)
+                ed, ej = banded_ed(qs, ts, qls, tls, Wp=Wp, L=L,
+                                   hw_mode=hw_mode, small=small)
+                return self._gather(ed), self._gather(ej)
 
             fn = self._jits[key] = jax.jit(run)
-        ed, ej = fn(q, t, qlen, tlen)
+        ed, ej = fn(*(self._shard_in(x) for x in (q, t, qlen, tlen)))
         return np.asarray(ed)[:B], np.asarray(ej)[:B]
 
     def banded_sg_align(self, q, t, qlen, tlen, ma, mi, go, ge, *, Wp: int, L: int):
@@ -178,15 +217,17 @@ class Sharder:
                 shard_map,
                 mesh=self.mesh,
                 in_specs=tuple([P(self.axis)] * 8),
-                out_specs=tuple([P(self.axis)] * 4),
+                out_specs=tuple([self._outspec()] * 4),
                 check_rep=False,
             )
             def run(qs, ts, qls, tls, mas, mis, gos, ges):
-                return banded_sg_align(qs, ts, qls, tls, mas, mis, gos, ges,
+                outs = banded_sg_align(qs, ts, qls, tls, mas, mis, gos, ges,
                                        Wp=Wp, L=L)
+                return tuple(self._gather(o) for o in outs)
 
             fn = self._jits[key] = jax.jit(run)
-        best, ei, ej, dirs = fn(q, t, qlen, tlen, ma, mi, go, ge)
+        best, ei, ej, dirs = fn(*(self._shard_in(x) for x in
+                                  (q, t, qlen, tlen, ma, mi, go, ge)))
         return (np.asarray(best)[:B], np.asarray(ei)[:B], np.asarray(ej)[:B],
                 np.asarray(dirs)[:B])
 
@@ -209,15 +250,17 @@ class Sharder:
                 shard_map,
                 mesh=self.mesh,
                 in_specs=tuple([P(self.axis)] * 8),
-                out_specs=tuple([P(self.axis)] * 7),
+                out_specs=tuple([self._outspec()] * 7),
                 check_rep=False,
             )
             def run(qs, ts, qls, tls, mas, mis, gos, ges):
-                return sg_align_with_ops(qs, ts, qls, tls, mas, mis, gos,
+                outs = sg_align_with_ops(qs, ts, qls, tls, mas, mis, gos,
                                          ges, Wp=Wp, L=L)
+                return tuple(self._gather(o) for o in outs)
 
             fn = self._jits[key] = jax.jit(run)
-        outs = fn(q, t, qlen, tlen, ma, mi, go, ge)
+        outs = fn(*(self._shard_in(x) for x in
+                    (q, t, qlen, tlen, ma, mi, go, ge)))
         return tuple(np.asarray(o)[:B] for o in outs)
 
 
