@@ -796,19 +796,15 @@ class PairEngine:
                 outs = self.sharder.sg_align_pool(
                     dev_mat, dev_lens, ia, ib, ma, mi, go, ge, Wp=Wp, L=Lb)
                 return ("pallas", tuple(outs))
-            import os
+            # compacted-parity kernel: every lane live, 2 pairs per plane
+            # (TPU-validated vs the oracle and 1.37x the retired v2 kernel,
+            # scripts/bench_affine_ab.py).  Geometry always holds on this
+            # path: Lb doubles from 2048, Wp is a power of 2 >= 256, and
+            # Bp is a power of 2 >= 512.
+            assert Lb % 128 == 0 and Wp % 256 == 0 and Bp % 2 == 0
+            from .affine_pallas_c import sg_align_pool_pallas_c
 
-            from .affine_pallas import sg_align_pool_pallas
-
-            align_fn = sg_align_pool_pallas
-            if (os.environ.get("ISOCON_AFFINE_COMPACT", "0") != "0"
-                    and Lb % 128 == 0 and Wp % 256 == 0 and Bp % 2 == 0):
-                # compacted-parity kernel (affine_pallas_c): every lane
-                # live, 2 pairs per plane -- opt-in until TPU-validated
-                from .affine_pallas_c import sg_align_pool_pallas_c
-
-                align_fn = sg_align_pool_pallas_c
-            (buf,) = align_fn(
+            (buf,) = sg_align_pool_pallas_c(
                 dev_mat, dev_lens, ia, ib, ma, mi, go, ge, Wp=Wp, L=Lb,
                 fuse_out=True, interpret=self.interpret)
             return ("pallas1", (buf, Bp))
@@ -841,14 +837,14 @@ class PairEngine:
         kind, outs = handle  # every launch path tags its handle explicitly
         if kind == "pallas1":
             # one fused download buffer: a single host-link round trip
-            from .affine_pallas import split_fused_out
+            from .affine_pallas_c import split_fused_out
 
             buf, Bp = outs
             scal, ops = split_fused_out(np.asarray(buf), Bp)
             _best, ei, ej, fi, fj, overflow = scal
         elif kind == "pallas":
             # two bulk transfers: [6, B] int32 scalars + packed opcodes
-            from .affine_pallas import unpack_ops
+            from .affine_pallas_c import unpack_ops
 
             scal, packed = outs
             scal = np.asarray(scal)

@@ -116,7 +116,7 @@ class Sharder:
         key = ("affine_pool", Wp, L)
         fn = self._jits.get(key)
         if fn is None:
-            from ..ops.affine_pallas import sg_align_pool_pallas
+            from ..ops.affine_pallas_c import sg_align_pool_pallas_c
 
             interp = self.interpret
 
@@ -127,7 +127,7 @@ class Sharder:
                 check_rep=False,
             )
             def run(pf, pl_, ias, ibs, mas, mis, gos, ges):
-                scal, packed = sg_align_pool_pallas(
+                scal, packed = sg_align_pool_pallas_c(
                     pf, pl_, ias, ibs, mas, mis, gos, ges, Wp=Wp, L=L,
                     interpret=interp)
                 return self._gather(scal, 1), self._gather(packed, 0)

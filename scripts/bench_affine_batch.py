@@ -11,12 +11,9 @@ dummy big-shape call still pays the full download -- the engine drops
 small chunks to the smaller {512, 1024} shapes (engine.align_pairs).
 
 Usage: python scripts/bench_affine_batch.py [B ...]
-Set ISOCON_AFFINE_COMPACT=1 to benchmark the compacted-parity kernel
-(affine_pallas_c) instead of v2.
 """
 from __future__ import annotations
 
-import os
 import sys
 import time
 
@@ -33,14 +30,8 @@ def main():
     import jax
     from isocon_tpu.io import read_fasta
     from isocon_tpu.ops.encode import encode_seq
-
-    if os.environ.get("ISOCON_AFFINE_COMPACT", "0") != "0":
-        from isocon_tpu.ops.affine_pallas_c import (
-            sg_align_pool_pallas_c as sg_align_pool_pallas)
-        print("kernel: compacted-parity (affine_pallas_c)")
-    else:
-        from isocon_tpu.ops.affine_pallas import sg_align_pool_pallas
-        print("kernel: v2 (affine_pallas)")
+    from isocon_tpu.ops.affine_pallas_c import (
+        sg_align_pool_pallas_c as sg_align_pool_pallas)
 
     Bs = [int(x) for x in sys.argv[1:]] or [512, 1024, 2048]
     seqs = [s for _a, s in read_fasta(READS) if 1200 <= len(s) <= L]
@@ -57,8 +48,10 @@ def main():
     for B in Bs:
         ia = rng.integers(0, U - 3, B).astype(np.int32)
         ib = (ia + 1 + rng.integers(0, 3, B)).astype(np.int32)
-        args = [dp, dl, jax.device_put(ia), jax.device_put(ib)] + [
-            jax.device_put(np.full(B, v, np.int16)) for v in (2, -2, 2, 0)
+        # numpy index/score vectors = the engine calling convention, so the
+        # persistent compile cache shares entries with pipeline runs
+        args = [dp, dl, ia, ib] + [
+            np.full(B, v, np.int16) for v in (2, -2, 2, 0)
         ]
 
         def run():

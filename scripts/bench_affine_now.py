@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from isocon_tpu.io import read_fasta
 from isocon_tpu.ops.encode import encode_seq
-from isocon_tpu.ops.affine_pallas import sg_align_pool_pallas
+from isocon_tpu.ops.affine_pallas_c import sg_align_pool_pallas_c as sg_align_pool_pallas
 from isocon_tpu.ops.engine import enable_compilation_cache
 
 enable_compilation_cache()

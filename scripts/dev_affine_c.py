@@ -11,7 +11,7 @@ from isocon_tpu.ops.affine_pallas_c import sg_align_with_ops_pallas_c
 from isocon_tpu.ops.encode import pad_batch
 
 sys.path.insert(0, "tests")
-from test_affine_pallas import make_pairs
+from test_affine_pallas_c import make_pairs
 
 rng = random.Random(11)
 B, L, Wp = 128, 256, 256

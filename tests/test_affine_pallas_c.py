@@ -15,7 +15,36 @@ from isocon_tpu.ops.affine_pallas_c import (sg_align_pool_pallas_c,
                                             split_fused_out, unpack_ops)
 from isocon_tpu.ops.encode import pad_batch
 
-from test_affine_pallas import make_pairs
+
+def make_pairs(rng, B, L):
+    def rs(n):
+        return "".join(rng.choice("ACGT") for _ in range(n))
+
+    def mut(s, k):
+        s = list(s)
+        for _ in range(k):
+            op = rng.choice("SID")
+            p = rng.randrange(len(s))
+            if op == "S":
+                s[p] = rng.choice("ACGT")
+            elif op == "I" and len(s) < L - 1:
+                s.insert(p, rng.choice("ACGT"))
+            elif len(s) > 2:
+                del s[p]
+        return "".join(s)
+
+    pairs = []
+    for i in range(B):
+        a = rs(rng.randrange(60, L - 60))
+        if i % 5 == 0:
+            b = rs(rng.randrange(60, L - 60))   # unrelated
+        elif i % 5 == 1:
+            b = a[rng.randrange(0, 20):][:max(10, len(a) - rng.randrange(0, 20))]
+            b = mut(b, rng.randrange(0, 6))     # clipped ends
+        else:
+            b = mut(a, rng.randrange(0, 25))
+        pairs.append((a, b))
+    return pairs
 
 
 def _check(pairs, B, L, Wp, mi=None, ge=None):
