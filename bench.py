@@ -177,6 +177,48 @@ def bench_e2e_n200():
     return 200.0 / dt, dt
 
 
+def _run_json_script(script, extra_env=None, timeout=900):
+    import subprocess
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.update(extra_env or {})
+    try:
+        r = subprocess.run(
+            [sys.executable, script],
+            capture_output=True, text=True, timeout=timeout, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = r.stdout.strip().splitlines()[-1]
+        return json.loads(line)
+    except Exception:
+        return None
+
+
+def bench_scaling():
+    """Multi-chip scaling stand-ins until real multi-chip hardware is
+    reachable.  Primary: scripts/bench_scaling_multihost.py -- K real
+    processes with separate XLA runtimes, pinned cores, jax.distributed
+    over localhost DCN (the BASELINE '>=80% at 2 hosts' measurement).
+    Secondary: the N-in-{1,2,4,8} virtual-device curve
+    (scripts/bench_scaling.py); virtual CPU devices share one thread
+    pool, so that curve understates device-level speedup."""
+    mh = _run_json_script("scripts/bench_scaling_multihost.py",
+                          {"ISOCON_SCALING_B": "256"})
+    curve = _run_json_script(
+        "scripts/bench_scaling.py",
+        {"ISOCON_SCALING_B": "256",
+         "XLA_FLAGS": (os.environ.get("XLA_FLAGS", "")
+                       + " --xla_force_host_platform_device_count=8").strip()})
+    out = {}
+    if mh is not None:
+        out["multihost_2proc"] = mh
+    if curve is not None:
+        out["virtual_device_curve"] = curve
+    return out or None
+
+
 def main():
     q, t, qlen, tlen = build_pairs()
     cpu_rate = bench_cpu(q, t, qlen, tlen)
@@ -188,6 +230,10 @@ def main():
         if e2e_rate is not None:
             extra["e2e_n200_reads_per_sec"] = round(e2e_rate, 3)
             extra["e2e_n200_seconds"] = round(e2e_s, 1)
+    if not os.environ.get("ISOCON_BENCH_NO_SCALING"):
+        sc = bench_scaling()
+        if sc is not None:
+            extra["scaling_cpu_mesh"] = sc
     print(
         json.dumps(
             {

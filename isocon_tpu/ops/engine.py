@@ -210,12 +210,11 @@ class PairEngine:
         self.w0 = w0
         self.host_threshold = host_threshold  # pairs shorter than this -> numpy
         self.sharder = sharder  # optional parallel.Sharder for multi-device runs
-        if use_pallas is None:
-            import jax
+        import jax
 
-            use_pallas = (
-                jax.default_backend() != "cpu" and batch_pairs % 128 == 0
-            )
+        self._cpu_backend = jax.default_backend() == "cpu"
+        if use_pallas is None:
+            use_pallas = not self._cpu_backend and batch_pairs % 128 == 0
         self.use_pallas = use_pallas
         self.interpret = interpret  # run Pallas kernels in interpret mode
         # On the CPU backend the lax.scan DP kernels are the slow path; a
@@ -583,7 +582,11 @@ class PairEngine:
                 ia[pos] = pool.intern(a, self._enc)
                 ib[pos] = pool.intern(b, self._enc)
                 qlen[pos], tlen[pos] = len(a), len(b)
-            use_pl = Wp == 128 and Lb % 64 == 0 and Bp % 128 == 0
+            # on the CPU backend the Pallas kernel would run in interpret
+            # mode (orders of magnitude slow) -- use the lax.scan kernel
+            # unless interpret was explicitly requested (kernel tests)
+            use_pl = (Wp == 128 and Lb % 64 == 0 and Bp % 128 == 0
+                      and (self.interpret or not self._cpu_backend))
             dev_mat, dev_lens = pool.device_arrays(self._pool_sharding())
             if self.sharder is not None:
                 ed, ej = self.sharder.banded_ed_pool(

@@ -71,6 +71,21 @@ def main():
         print("%-12s %7.1f ms  (%.0f pairs/s)  [compile+1st %.1fs]"
               % (name, best * 1e3, B / best, comp), flush=True)
 
+    # engine pattern: launch K batches async, then collect in order --
+    # measures whether the next batch's compute overlaps the previous
+    # batch's download over the tunnel
+    K = 3
+    best = 1e9
+    for _ in range(4):
+        t0 = time.perf_counter()
+        bufs = [sg_align_pool_pallas_c(dp, dl, ia, ib, *scal16, Wp=WP, L=L,
+                                       fuse_out=True)[0] for _ in range(K)]
+        for b in bufs:
+            np.asarray(b)
+        best = min(best, time.perf_counter() - t0)
+    print("%-12s %7.1f ms/call  (%.0f pairs/s pipelined, K=%d)"
+          % ("launch+coll", best / K * 1e3, K * B / best, K), flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -28,6 +28,8 @@ if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", "")
     ).strip()
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
+import random
+
 import jax
 
 from isocon_tpu.io import read_fasta
@@ -36,7 +38,10 @@ from isocon_tpu.parallel.mesh import make_mesh
 from isocon_tpu.parallel.sharding import Sharder
 
 READS = "/root/reference/test/data/simulated_pacbio_reads_n_200.fa"
-B = int(os.environ.get("ISOCON_SCALING_B", 128))
+# B large enough that each device's per-step vector work dominates the
+# lax.scan per-step dispatch overhead (which is batch-independent and
+# would otherwise flatten the curve at small per-device batches)
+B = int(os.environ.get("ISOCON_SCALING_B", 1024))
 MAXLEN = int(os.environ.get("ISOCON_SCALING_MAXLEN", 1200))
 
 ncores = os.cpu_count()
@@ -44,12 +49,22 @@ print("backend: %s, devices: %d, cores: %d"
       % (jax.default_backend(), len(jax.devices()), ncores),
       file=sys.stderr)
 
+# lightly-mutated pairs (ED <= ~15): every pair certifies at the first
+# band, so the measurement is one full-batch kernel round per call --
+# escalation rounds would serialize tiny uncertified batches and measure
+# the workload's shape, not the mesh scaling
+rng = random.Random(0)
 seqs = [s for _a, s in read_fasta(READS) if len(s) <= MAXLEN]
 seqs.sort(key=len)
 pairs = []
 k = 0
 while len(pairs) < B:
-    pairs.append((seqs[k % len(seqs)], seqs[(k + 1) % len(seqs)]))
+    s = seqs[k % len(seqs)]
+    t = list(s)
+    for _ in range(rng.randrange(3, 15)):
+        p = rng.randrange(len(t))
+        t[p] = rng.choice("ACGT")
+    pairs.append((s, "".join(t)))
     k += 1
 
 rates = {}
@@ -57,14 +72,17 @@ eff = {}
 for n in (1, 2, 4, 8):
     if n > len(jax.devices()):
         continue
-    # fixed engine workload: sharded banded-ED batches, same pair list
-    # every N (the sharder shards the pair axis; kernels are the lax.scan
-    # wavefront on this backend)
+    # fixed engine workload: sharded POOLED banded-ED batches (replicated
+    # device-resident pool, sharded int32 index vectors, lax.scan wavefront
+    # on this backend) -- the same dataflow shape the TPU engine runs, so
+    # the curve measures mesh scaling rather than host-assembly overhead
     engine = PairEngine(batch_pairs=B, sharder=Sharder(make_mesh(n)),
-                        ed_batch=B)
+                        ed_batch=B, use_pallas=True)
+    engine.myers_sub = 0   # Myers is a Pallas kernel (interpret-only on
+    # CPU); the pooled wavefront scan is the CPU-native sharded path
     engine.edit_distances(pairs)  # compile + pool warm
     best = 0.0
-    for _ in range(3):
+    for _ in range(2):
         t0 = time.perf_counter()
         engine.edit_distances(pairs)
         dt = time.perf_counter() - t0
