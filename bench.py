@@ -155,26 +155,36 @@ def bench_affine(q, t, qlen, tlen):
 
 def bench_e2e_n200():
     """Full pipeline on the bundled n_200 dataset (the reference's CI
-    workload, .travis.yml:22): reads/s to final_candidates.fa."""
+    workload, .travis.yml:22): reads/s to final_candidates.fa.
+
+    Best-of-2, same convention as every other metric here (the device
+    tunnel's transfer bandwidth swings >100x between identical runs; see
+    docs/ROADMAP.md "Known environment ceilings").  Each run is a fresh
+    process paying full jax+tunnel init; the bundled xla_seed/ cache
+    means even the first run compiles nothing."""
     import shutil
     import subprocess
     import tempfile
 
     reads = "/root/reference/test/data/simulated_pacbio_reads_n_200.fa"
-    out = tempfile.mkdtemp(prefix="isocon_bench_")
-    t0 = time.perf_counter()
-    r = subprocess.run(
-        [sys.executable, "-m", "isocon_tpu.cli", "pipeline",
-         "-fl_reads", reads, "-outfolder", out],
-        capture_output=True, text=True,
-    )
-    dt = time.perf_counter() - t0
-    ok = r.returncode == 0 and os.path.exists(
-        os.path.join(out, "final_candidates.fa"))
-    shutil.rmtree(out, ignore_errors=True)
-    if not ok:
+    best = None
+    for _rep in range(2):
+        out = tempfile.mkdtemp(prefix="isocon_bench_")
+        t0 = time.perf_counter()
+        r = subprocess.run(
+            [sys.executable, "-m", "isocon_tpu.cli", "pipeline",
+             "-fl_reads", reads, "-outfolder", out],
+            capture_output=True, text=True,
+        )
+        dt = time.perf_counter() - t0
+        ok = r.returncode == 0 and os.path.exists(
+            os.path.join(out, "final_candidates.fa"))
+        shutil.rmtree(out, ignore_errors=True)
+        if ok and (best is None or dt < best):
+            best = dt
+    if best is None:
         return None, None
-    return 200.0 / dt, dt
+    return 200.0 / best, best
 
 
 def _run_json_script(script, extra_env=None, timeout=900):

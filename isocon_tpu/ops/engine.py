@@ -60,10 +60,42 @@ def enable_compilation_cache() -> None:
             return
         cache_dir = os.path.join(cache_dir, backend)
         os.makedirs(cache_dir, exist_ok=True)
+        _seed_cache(cache_dir, backend)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # Pallas kernels embed MLIR locations inside the serialized Mosaic
+        # payload (a custom_call backend_config), which the cache key's
+        # strip-debuginfo pass cannot reach -- with full tracebacks, every
+        # caller-frame line shift (any edit to engine.py) silently
+        # invalidates the persistent entries.  Single-frame locations keep
+        # the key stable unless the kernel file itself changes.
+        jax.config.update("jax_include_full_tracebacks_in_locations", False)
     except Exception:
         pass
+
+
+def _seed_cache(cache_dir: str, backend: str) -> None:
+    """Copy bundled pre-compiled executables (repo xla_seed/<backend>/)
+    into the runtime cache so a fresh container starts warm.  Entries are
+    content-keyed by XLA (computation + compile options + versions), so a
+    stale seed from a different jax build simply never gets looked up.
+    The pipeline's bucket set is small and stable (~20 shapes, ~13 MB) --
+    shipping them removes the 60-150 s first-run compile tax over the
+    device tunnel (each shape costs 10-30 s to compile remotely)."""
+    import shutil
+
+    seed = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), "xla_seed", backend)
+    if not os.path.isdir(seed):
+        return
+    for name in os.listdir(seed):
+        dst = os.path.join(cache_dir, name)
+        if not os.path.exists(dst):
+            try:
+                shutil.copy2(os.path.join(seed, name), dst)
+            except OSError:
+                pass
 
 
 def _len_bucket(n: int) -> int:
