@@ -115,14 +115,14 @@ def bench_cpu(q, t, qlen, tlen):
 
 def bench_affine(q, t, qlen, tlen):
     """Pooled affine SG alignment + traceback throughput, device-resident
-    inputs (the engine's pallas1 path geometry: Wp=256, L=2048, B=2048 --
-    the accelerator batch floor; see scripts/bench_affine_batch.py)."""
+    inputs (the engine's pallas1 path geometry: Wp=256, L=2048, B=8192 --
+    the accelerator full-batch target; see scripts/bench_affine_c_split.py)."""
     import jax
     import jax.numpy as jnp
     from isocon_tpu.ops.affine_pallas_c import (
         sg_align_pool_pallas_c as sg_align_pool_pallas)
 
-    B = 2048
+    B = 8192
     U = 1024
     pool = np.full((U, L), 6, dtype=np.int8)
     plen = np.ones(U, dtype=np.int32)
@@ -130,26 +130,34 @@ def bench_affine(q, t, qlen, tlen):
         pool[u] = t[u % t.shape[0]]
         plen[u] = tlen[u % t.shape[0]]
     rng = np.random.default_rng(0)
-    ia = rng.integers(0, U - 3, B).astype(np.int32)
-    ib = (ia + 1 + rng.integers(0, 3, B)).astype(np.int32)
-    # engine calling convention (device-resident 1-D pool, numpy index and
-    # score vectors) so the persistent compile cache shares entries with
-    # pipeline runs
-    args = [jax.device_put(pool.reshape(-1)), jax.device_put(plen),
-            ia, ib,
-            np.full(B, 2, np.int16), np.full(B, -2, np.int16),
-            np.full(B, 2, np.int16), np.full(B, 0, np.int16)]
+    K = 3  # batches in flight: the engine launches every batch, then
+    #        collects (engine.py align_pairs), overlapping the fused-buffer
+    #        download with the next batch's kernel
+    pf = jax.device_put(pool.reshape(-1))
+    pl = jax.device_put(plen)
+    batches = []
+    for _k in range(K):
+        ia = rng.integers(0, U - 3, B).astype(np.int32)
+        ib = (ia + 1 + rng.integers(0, 3, B)).astype(np.int32)
+        # engine calling convention (device-resident 1-D pool, numpy index
+        # and score vectors) so the persistent compile cache shares entries
+        # with pipeline runs
+        batches.append([pf, pl, ia, ib,
+                        np.full(B, 2, np.int16), np.full(B, -2, np.int16),
+                        np.full(B, 2, np.int16), np.full(B, 0, np.int16)])
 
-    def run():
-        (buf,) = sg_align_pool_pallas(*args, Wp=256, L=L, fuse_out=True)
+    def run(k):
+        (buf,) = sg_align_pool_pallas(*batches[k], Wp=256, L=L,
+                                      fuse_out=True)
         return buf
 
-    np.asarray(run())  # compile
+    np.asarray(run(0))  # compile
     best = 0.0
     for _rep in range(3):
         t0 = time.perf_counter()
-        np.asarray(run())
-        best = max(best, B / (time.perf_counter() - t0))
+        outs = [run(k) for k in range(K)]
+        _ = [np.asarray(o) for o in outs]
+        best = max(best, K * B / (time.perf_counter() - t0))
     return best
 
 

@@ -123,6 +123,12 @@ def _geometry(Wp: int, L: int, G: int):
         64 if Wp <= 512 else 16
     )
     BB = int(os.environ.get("ISOCON_AFFINE_BB", 0)) or 256
+    # Scoped VMEM per grid step scales with BB*W (19 (BB, 2W) int32 state
+    # planes + the (BB, CH*2W) dirs output window), so wide escalation
+    # bands must trade pair-block rows for lanes: BB*Wp <= 256*1024 keeps
+    # every geometry under the 64 MB scoped limit (measured: Wp=1024
+    # BB=256 fits, Wp=2048 BB=256 OOMs at 76.5 MB, BB=128 fits).
+    BB = min(BB, max(32, (256 * 1024) // Wp))
     BB = min(BB, G)
     while G % BB:
         BB //= 2

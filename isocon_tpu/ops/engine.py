@@ -265,15 +265,18 @@ class PairEngine:
                 self.native_cpu = native_available()
         if use_pallas:
             # the affine call has ~26 ms fixed cost (tunnel RTT + dispatch)
-            # vs ~68 us/pair marginal (measured, scripts/bench_affine_batch.py:
-            # 8.5k pairs/s at B=512 -> 12.2k at B=2048), and dummy-padded
-            # 256-pair grid blocks are skipped by the dynamic early-exit, so
-            # a big fixed batch shape is cheap even when partially filled.
-            # CPU keeps the smaller floor: the lax.scan/interpret kernels
-            # there pay per-pair, and tests run on that backend.
+            # vs ~34 us/pair marginal kernel cost, so bigger batches keep
+            # winning: 20.2k pairs/s at B=4096 -> 21.7k at B=8192 sync and
+            # 27k -> 35k pipelined (scripts/bench_affine_c_split.py).
+            # 8192 is the full-batch target, not a pad floor: tail chunks
+            # drop to the smallest power-of-two shape >= the chunk (the Bp
+            # loop below), so small rounds neither pad the O(Bp) opcode
+            # download nor run dummy grid blocks.  CPU keeps a small
+            # target: the lax.scan/interpret kernels there pay per-pair,
+            # and tests run on that backend.
             import jax
 
-            floor = 2048 if jax.default_backend() != "cpu" else 512
+            floor = 8192 if jax.default_backend() != "cpu" else 512
             self.batch_pairs = batch_pairs = max(batch_pairs, floor)
         if ed_batch is None:
             # the Myers kernel amortizes its fixed dispatch cost over many
@@ -738,10 +741,12 @@ class PairEngine:
                 buckets.setdefault((Lb, bands[i]), []).append(i)
             launched = []
             for (Lb, Wp), idxs in sorted(buckets.items()):
-                # cap the batch so the on-device direction planes
-                # (B x 2L x Wp bytes) stay within ~4 GB of the 16 GB HBM
-                # (2 GB at the default L=2048/Wp=256 geometry -- measured OK)
-                cap = int(4e9 // (2 * Lb * Wp))
+                # cap the batch so the on-device direction planes of the
+                # compacted kernel (B x L x Wp bytes: B/2 plane rows of
+                # S*2W = 2L*Wp) stay within ~6 GB of the 16 GB HBM
+                # (4.3 GB at the default L=2048/Wp=256/B=8192 geometry --
+                # measured OK on the chip)
+                cap = int(6e9 // (Lb * Wp))
                 bchunk = max(128, min(self.batch_pairs,
                                       1 << max(7, cap.bit_length() - 1)))
                 if self.sharder is not None:
