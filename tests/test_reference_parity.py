@@ -1,0 +1,74 @@
+"""End-to-end parity against the reference's OWN pipeline logic.
+
+scripts/run_reference_parity.py executes the unmodified reference IsoCon
+(/root/reference) with isocon_tpu's native kernels shimmed in as the
+`edlib`/`parasail` modules (tests/refshims/), then runs our pipeline on
+the same reads.  Real edlib/parasail are uninstallable here, so this is
+the strongest obtainable oracle: it isolates our pipeline/stats logic
+against the reference's actual code, sharing only the kernel layer.
+
+Asserted: identical final candidate sequence sets AND identical
+accessions (transcript numbering, support counts, variant lists), with
+p-values compared under relative tolerance (summation-order float
+noise differs in the last ~3 digits).
+"""
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFERENCE = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REFERENCE, "modules")),
+    reason="reference checkout not available",
+)
+
+
+def parse_accession(acc: str):
+    """transcript_N_support_S_<reads>_<pval>_<Nt>_<variants> ->
+    (prefix-tuple, pval-or-None, variants)."""
+    m = re.match(
+        r"transcript_(\d+)_support_(\d+)_(\d+)_(not_tested|[^_]+)_(\d+)_(.*)",
+        acc)
+    assert m, acc
+    n, s, reads, pval, nt, variants = m.groups()
+    p = None if pval == "not_tested" else float(pval)
+    return (int(n), int(s), int(reads), int(nt), variants), p
+
+
+def test_reference_parity_n200(tmp_path):
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts",
+                                      "run_reference_parity.py"),
+         os.path.join(REFERENCE,
+                      "test/data/simulated_pacbio_reads_n_200.fa"),
+         str(tmp_path)],
+        capture_output=True, text=True, timeout=1800,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    assert res["sequences_equal"], res
+    assert res["reference_candidates"] == res["isocon_tpu_candidates"]
+
+    from isocon_tpu.io import read_fasta
+
+    ref = {seq: acc for acc, seq in read_fasta(
+        str(tmp_path / "reference" / "final_candidates.fa"))}
+    ours = {seq: acc for acc, seq in read_fasta(
+        str(tmp_path / "isocon_tpu" / "final_candidates.fa"))}
+    assert set(ref) == set(ours)
+    for seq, acc in ref.items():
+        key_r, p_r = parse_accession(acc)
+        key_o, p_o = parse_accession(ours[seq])
+        assert key_r == key_o, (acc, ours[seq])
+        if p_r is None:
+            assert p_o is None
+        else:
+            assert p_o == pytest.approx(p_r, rel=1e-9), (acc, ours[seq])
