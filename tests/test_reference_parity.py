@@ -43,6 +43,40 @@ def parse_accession(acc: str):
     return (int(n), int(s), int(reads), int(nt), variants), p
 
 
+def test_reference_parity_fastq(tmp_path):
+    """The quality-value statistical path (.fq input), both pipelines
+    (reference: isocon_statistical_test.py:177-189)."""
+    import random
+
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from test_pipeline_e2e import noisy_copy, rand_seq
+
+    rng = random.Random(17)
+    base = rand_seq(rng, 300)
+    bl = list(base)
+    for pos in (40, 150, 260):
+        bl[pos] = {"A": "C", "C": "G", "G": "T", "T": "A"}[bl[pos]]
+    iso_b = "".join(bl)
+    read_file = str(tmp_path / "reads.fq")
+    with open(read_file, "w") as fh:
+        for tag, iso in (("a", base), ("b", iso_b)):
+            for i in range(14):
+                seq = noisy_copy(rng, iso, 0.01)
+                qual = "".join(
+                    chr(33 + rng.choice((20, 30, 40))) for _ in seq)
+                fh.write("@read_%s_%d\n%s\n+\n%s\n" % (tag, i, seq, qual))
+
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts",
+                                      "run_reference_parity.py"),
+         read_file, str(tmp_path / "work")],
+        capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    assert res["sequences_equal"], res
+
+
 def test_reference_parity_n200(tmp_path):
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts",
