@@ -118,6 +118,9 @@ def _kernel(peq_ref, text_ref, nlen_ref, mlen_ref, nword_ref, nbit_ref,
             trow = text_ref[pl.ds((32 * p + s) * SUB, SUB), :].astype(
                 jnp.int32)
             su = s.astype(jnp.uint32)
+            # hoist the 5 per-char code comparisons out of the word loop
+            # (one cmp each instead of one per window word)
+            cmask = [trow == PLANES[ci] for ci in range(len(PLANES))]
 
             # vertical delta at (row j, column j-1): bit s of the diagonal
             # word (slot select)
@@ -145,7 +148,7 @@ def _kernel(peq_ref, text_ref, nlen_ref, mlen_ref, nword_ref, nbit_ref,
                 mv = mvs[k]
                 eq = zeros
                 for ci in range(len(PLANES)):
-                    eq = jnp.where(trow == PLANES[ci], peqs[k][ci], eq)
+                    eq = jnp.where(cmask[ci], peqs[k][ci], eq)
 
                 xv = eq | mv
                 eq = eq | hm
