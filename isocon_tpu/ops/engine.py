@@ -378,6 +378,24 @@ class PairEngine:
 
         Wp = self.w0
         while rest:
+            # Tiny rounds cost more in device round-trips than in CPU DP:
+            # an HW-mode pooled wavefront call has ~1.5-3 s of sequential
+            # lax.scan + tunnel cost almost regardless of B (measured
+            # B=2..38 collects at n_200), while the C++ banded-HW kernel
+            # does a 2 kb pair in <1 ms.  Route rounds below the crossover
+            # to the native kernels -- the CPU backend's production path,
+            # decision-equivalent (goldens pinned on both backends).
+            if (self.use_pallas
+                    and len(rest) <= (256 if hw_mode else 64)):
+                from ..native import native_available
+
+                if native_available():
+                    if _DEBUG:
+                        print("engine.ed native-smallround hw=%s B=%d"
+                              % (hw_mode, len(rest)), flush=True)
+                    self._ed_native(pairs, rest, caps, hw_mode, ed_out,
+                                    ej_out)
+                    break
             next_round: List[int] = []
             # bucket by padded length; pooled paths collapse to power-of-2
             # buckets >= pallas_L0 so only a few kernel shapes ever compile
