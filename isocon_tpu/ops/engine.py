@@ -123,19 +123,54 @@ def _put_replicated(arr, sharding):
     return jax.device_put(arr, sharding)
 
 
+def _pack_nibbles(arr: np.ndarray) -> np.ndarray:
+    """Two int8 codes (< 16) per byte: the host link is the pool-push
+    bottleneck and wildly variable, so halving the wire halves the worst
+    stalls.  Length must be even (L is always a multiple of 2)."""
+    v = np.ascontiguousarray(arr).view(np.uint8)
+    return (v[0::2] | (v[1::2] << 4)).astype(np.uint8)
+
+
+def _unpack_nibbles(p):
+    import jax.numpy as jnp
+
+    lo = (p & jnp.uint8(0xF)).astype(jnp.int8)
+    hi = (p >> 4).astype(jnp.int8)
+    return jnp.stack([lo, hi], axis=1).reshape(-1)
+
+
 def _pool_delta_update(flat, delta, off):
     """Donating dynamic_update_slice: splice newly interned rows into the
-    device-resident pool without re-uploading the whole buffer."""
+    device-resident pool without re-uploading the whole buffer.  The
+    delta crosses the link nibble-packed; the unpack runs on device
+    inside the same jit."""
     import jax
 
-    key = (int(flat.shape[0]), int(delta.shape[0]))
+    packed = _pack_nibbles(delta)
+    key = (int(flat.shape[0]), int(packed.shape[0]))
     fn = _UPD_JITS.get(key)
     if fn is None:
         fn = _UPD_JITS[key] = jax.jit(
-            lambda f, d, o: jax.lax.dynamic_update_slice(f, d, (o,)),
+            lambda f, p, o: jax.lax.dynamic_update_slice(
+                f, _unpack_nibbles(p), (o,)),
             donate_argnums=(0,),
         )
-    return fn(flat, delta, off)
+    return fn(flat, packed, off)
+
+
+_FULL_JITS: dict = {}
+
+
+def _pool_full_put(mat_flat: np.ndarray):
+    """Unsharded full-pool push, nibble-packed on the wire."""
+    import jax
+
+    packed = _pack_nibbles(mat_flat)
+    key = int(packed.shape[0])
+    fn = _FULL_JITS.get(key)
+    if fn is None:
+        fn = _FULL_JITS[key] = jax.jit(_unpack_nibbles)
+    return fn(packed)
 
 
 class _SeqPool:
@@ -182,6 +217,16 @@ class _SeqPool:
         self.version += 1
         return self.rows[seq]
 
+    def _full_put(self, R: int, sharding):
+        """Full-pool push.  Unsharded: nibble-packed wire + on-device
+        unpack.  Sharded/multi-host: raw int8 (make_array_global needs
+        the host value per shard; packing would complicate placement for
+        a path whose pushes are rare)."""
+        flat_np = np.ascontiguousarray(self.mat[:R]).reshape(-1)
+        if sharding is None:
+            return _pool_full_put(flat_np)
+        return _put_replicated(flat_np, sharding)
+
     def device_arrays(self, sharding=None):
         import jax
 
@@ -215,14 +260,9 @@ class _SeqPool:
                         np.int32(old * self.L),
                     )
                 else:
-                    flat = _put_replicated(
-                        np.ascontiguousarray(self.mat[:R]).reshape(-1),
-                        sharding,
-                    )
+                    flat = self._full_put(R, sharding)
             else:
-                flat = _put_replicated(
-                    np.ascontiguousarray(self.mat[:R]).reshape(-1), sharding
-                )
+                flat = self._full_put(R, sharding)
             self._dev = (
                 self.version, R, flat,
                 _put_replicated(self.lens[:R], sharding),
