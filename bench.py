@@ -153,7 +153,7 @@ def bench_affine(q, t, qlen, tlen):
 
     np.asarray(run(0))  # compile
     best = 0.0
-    for _rep in range(3):
+    for _rep in range(5):  # tunnel weather swings reps >25%; take the best
         t0 = time.perf_counter()
         outs = [run(k) for k in range(K)]
         _ = [np.asarray(o) for o in outs]
