@@ -107,3 +107,45 @@ def test_native_align_matches_kernels(pair_set):
     # spot-check the triple against the oracle
     for (a, b), (ma, mi, go, ge), got in list(zip(pair_set, scores, a_n))[:8]:
         assert got == oracle.align_semi_global(a, b, ma, mi, go, ge)
+
+
+def test_small_round_native_fallback(monkeypatch):
+    """Accelerator engines route tiny ED rounds (<=256 HW / <=64 NW) to
+    _ed_native instead of paying a device round-trip (engine.py
+    edit_distances); results must match the oracle and the device path
+    must never be entered."""
+    rng = random.Random(23)
+    pairs = []
+    for _ in range(5):
+        b = "".join(rng.choice("ACGT") for _ in range(400))
+        a = b[30:370]  # infix with clean HW distance 0
+        al = list(a)
+        for p in rng.sample(range(len(al)), 4):
+            al[p] = rng.choice([c for c in "ACGT" if c != al[p]])
+        pairs.append(("".join(al), b))
+
+    eng = PairEngine(batch_pairs=128, use_pallas=True, ed_batch=512,
+                     interpret=True)
+    eng.pallas_L0 = 512
+    eng.native_cpu = False  # force past the CPU-backend early return
+
+    def boom(*a, **kw):
+        raise AssertionError("device path entered for a tiny round")
+
+    monkeypatch.setattr(eng, "_launch_batch", boom)
+    eds, ejs = eng.edit_distances(pairs, hw_mode=True)
+    for (a, b), d, ej in zip(pairs, eds, ejs):
+        want, _s0, e0, _ops = oracle.edit_distance_hw(a, b)
+        assert d == want, (d, want)
+        assert ej == e0 + 1
+
+
+def test_pool_nibble_pack_roundtrip():
+    from isocon_tpu.ops.engine import _pack_nibbles, _pool_full_put
+
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 8, 4096).astype(np.int8)
+    packed = _pack_nibbles(arr)
+    assert packed.nbytes == arr.nbytes // 2
+    out = np.asarray(_pool_full_put(arr))
+    np.testing.assert_array_equal(out, arr)
