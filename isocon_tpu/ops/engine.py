@@ -592,14 +592,27 @@ class PairEngine:
         return (self.sharder.replicated_sharding()
                 if self.sharder is not None else None)
 
+    @staticmethod
+    def myers_sub_for(Lb: int, myers_sub: int) -> int:
+        """Sublane packing for the Myers kernel at length bucket Lb.
+        VMEM cap: text + peq blocks double-buffer across grid steps, so
+        L*sub is bounded (L=2048 @ sub=16 ~ 14 MB is the known-good max).
+        Floor at 8: the kernel's sublane dynamic slices start at
+        (32p+s)*sub, and Mosaic requires a provable multiple of 8 --
+        sub < 8 fails to compile (hit at Lb=8192 with 5.5 kb reads).
+        sub=8 probe-verified on the chip up to L=16384 (text 16.8 MB +
+        peq 10.5 MB under the 64 MB limit).  May exceed myers_sub only
+        when myers_sub < 8, in which case the caller's gate
+        (sub_L <= myers_sub) rejects the Myers path entirely."""
+        return max(8, min(myers_sub, max(32768 // Lb, 1)))
+
     def _launch_batch(self, pairs, chunk, Lb, Wp, hw_mode):
         B = len(chunk)
-        # VMEM cap: text + peq blocks double-buffer across grid steps, so
-        # L*sub is bounded (L=2048 @ sub=16 ~ 14 MB is the known-good max)
-        sub_L = min(self.myers_sub, max(32768 // Lb, 1))
+        sub_L = self.myers_sub_for(Lb, self.myers_sub)
         win = _MYERS_WIN.get(Wp)
         myers_path = (self.use_pallas
-                      and sub_L >= 4 and not hw_mode and win is not None
+                      and sub_L <= self.myers_sub and not hw_mode
+                      and win is not None
                       and Lb >= 256 and Lb % 32 == 0 and Lb >= 32 * win)
         if myers_path:
             # device-resident pool path: only int32 row indices per pair

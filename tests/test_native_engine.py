@@ -149,3 +149,19 @@ def test_pool_nibble_pack_roundtrip():
     assert packed.nbytes == arr.nbytes // 2
     out = np.asarray(_pool_full_put(arr))
     np.testing.assert_array_equal(out, arr)
+
+
+def test_myers_sub_floor():
+    """Mosaic requires (32p+s)*sub sublane slice starts provably 8-aligned:
+    sub < 8 fails to compile (hit at Lb=8192 with 5.5 kb reads).  The
+    sizing rule must never emit 1 <= sub < 8; myers_sub < 8 must disable
+    the path via the sub_L <= myers_sub gate."""
+    for Lb in (2048, 4096, 8192, 16384, 32768):
+        s = PairEngine.myers_sub_for(Lb, 16)
+        assert s >= 8, (Lb, s)
+        assert s <= 16
+    assert PairEngine.myers_sub_for(2048, 16) == 16
+    assert PairEngine.myers_sub_for(8192, 16) == 8
+    # myers_sub < 8 (odd ed_batch configs): result exceeds myers_sub, so
+    # the gate rejects the Myers path instead of compiling sub<8
+    assert PairEngine.myers_sub_for(2048, 4) > 4
