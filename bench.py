@@ -179,14 +179,20 @@ def bench_e2e_n200():
     for _rep in range(2):
         out = tempfile.mkdtemp(prefix="isocon_bench_")
         t0 = time.perf_counter()
-        r = subprocess.run(
-            [sys.executable, "-m", "isocon_tpu.cli", "pipeline",
-             "-fl_reads", reads, "-outfolder", out],
-            capture_output=True, text=True,
-        )
+        try:
+            r = subprocess.run(
+                [sys.executable, "-m", "isocon_tpu.cli", "pipeline",
+                 "-fl_reads", reads, "-outfolder", out],
+                capture_output=True, text=True, timeout=600,
+            )
+            ok = r.returncode == 0 and os.path.exists(
+                os.path.join(out, "final_candidates.fa"))
+        except subprocess.TimeoutExpired:
+            # the device tunnel occasionally stalls outright for minutes
+            # (docs/ROADMAP.md, known environment ceilings); a hung run
+            # must not wedge the whole bench
+            ok = False
         dt = time.perf_counter() - t0
-        ok = r.returncode == 0 and os.path.exists(
-            os.path.join(out, "final_candidates.fa"))
         shutil.rmtree(out, ignore_errors=True)
         if ok and (best is None or dt < best):
             best = dt
