@@ -92,10 +92,17 @@ def _seed_cache(cache_dir: str, backend: str) -> None:
     for name in os.listdir(seed):
         dst = os.path.join(cache_dir, name)
         if not os.path.exists(dst):
+            # temp + rename so a concurrent process never observes a
+            # truncated cache entry (mirrors JAX's own atomic cache writes)
+            tmp = "%s.seed.%d" % (dst, os.getpid())
             try:
-                shutil.copy2(os.path.join(seed, name), dst)
+                shutil.copy2(os.path.join(seed, name), tmp)
+                os.rename(tmp, dst)
             except OSError:
-                pass
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
 
 
 def _len_bucket(n: int) -> int:
@@ -613,7 +620,13 @@ class PairEngine:
         myers_path = (self.use_pallas
                       and sub_L <= self.myers_sub and not hw_mode
                       and win is not None
-                      and Lb >= 256 and Lb % 32 == 0 and Lb >= 32 * win)
+                      and Lb >= 256 and Lb % 32 == 0 and Lb >= 32 * win
+                      # sub floors at 8 (Mosaic slice alignment), so the
+                      # double-buffered text+peq VMEM blocks grow with L;
+                      # probe-verified ceiling is L=16384 @ sub=8 (beyond
+                      # that the 64 MB scoped limit fails the compile) --
+                      # longer buckets take the pooled wavefront path
+                      and Lb <= 16384)
         if myers_path:
             # device-resident pool path: only int32 row indices per pair
             # cross the host link; the kernel gathers rows on device
@@ -663,7 +676,14 @@ class PairEngine:
 
         cap = min(self.ed_batch, self.batch_pairs)
         if B <= cap:
+            # power-of-two tail shrink toward a floor (same rule as
+            # align_pairs): mid-size HW rounds otherwise pad straight to
+            # the 8192 full-batch target and pay 4x the dummy grid blocks
+            # plus a 4x O(Bp) download
+            floor_bp = 512 if self.use_pallas else 128
             Bp = cap
+            while Bp // 2 >= max(floor_bp, B):
+                Bp //= 2
         else:
             nchunk = -(-B // 128)
             Bp = (1 << (nchunk - 1).bit_length()) * 128
