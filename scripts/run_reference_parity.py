@@ -28,6 +28,18 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REFERENCE = os.environ.get("ISOCON_REFERENCE", "/root/reference")
+
+# The parity oracle is a CPU-correctness check; run it on the CPU backend
+# unless explicitly pointed at the accelerator.  env JAX_PLATFORMS=cpu is
+# NOT sufficient when the axon tunnel variable is set (its sitecustomize
+# registration overrides the platform choice), so pin via jax.config.
+if os.environ.get("ISOCON_PARITY_TPU") != "1":
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    except ImportError:
+        pass
 READS = (sys.argv[1] if len(sys.argv) > 1 else
          os.path.join(REFERENCE, "test/data/simulated_pacbio_reads_n_200.fa"))
 WORK = sys.argv[2] if len(sys.argv) > 2 else "/tmp/isocon_ref_parity"
