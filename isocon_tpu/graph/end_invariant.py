@@ -182,14 +182,16 @@ def ends_ignored_nn_graph(
     else:
         survivors = wanted
 
-    from ..native import hw_banded_traceback
+    from ..native import hw_traceback_batch
 
-    for (i, j) in survivors:
+    # batched threaded confirm pass (internal band escalation in C++):
+    # replaces the per-survivor serial host loop that dominated the static
+    # graph build at 10k-candidate scale
+    results = hw_traceback_batch(
+        [(ordered[i][0], ordered[j][0]) for i, j in survivors])
+    for (i, j), res in zip(survivors, results):
         q_seq, q_acc = ordered[i]
         t_seq, t_acc = ordered[j]
-        res = hw_banded_traceback(q_seq, t_seq)
-        if res is None:
-            res = oracle.edit_distance_hw(q_seq, t_seq)
         ed, start_j, end_j, ops = res
         if ed > max_ed_allowed:
             continue

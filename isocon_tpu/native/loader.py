@@ -81,6 +81,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
                         ctypes.c_void_p, ctypes.c_void_p,
                         ctypes.c_char_p, ctypes.c_int64,
                     ]
+                if hasattr(lib, "hw_traceback_batch"):
+                    lib.hw_traceback_batch.restype = None
+                    lib.hw_traceback_batch.argtypes = [
+                        ctypes.c_void_p, ctypes.c_void_p,
+                        ctypes.c_void_p, ctypes.c_void_p,
+                        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                        ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+                        ctypes.c_void_p,
+                    ]
                 _LIB = lib
         return _LIB
 
@@ -190,6 +199,53 @@ def affine_sg_batch(s1s: np.ndarray, s1lens: np.ndarray, s2s: np.ndarray,
         meta[:, 3].astype(np.int32), meta[:, 4].astype(np.int32),
         np.zeros(B, dtype=bool),
     )
+
+
+def hw_traceback_batch(pairs, band: int = 128):
+    """Batched threaded HW tracebacks with internal band escalation: the
+    vectorized replacement for per-pair ``hw_banded_traceback`` loops
+    (the ends-ignored graph's confirm pass).  ``pairs`` is a sequence of
+    (q, t) strings; returns a list of (ed, start_j, end_j_incl, ops)."""
+    lib = get_lib()
+    B = len(pairs)
+    if B == 0:
+        return []
+    if lib is None or not hasattr(lib, "hw_traceback_batch"):
+        from ..ops import oracle
+
+        return [hw_banded_traceback(q, t, band=band)
+                or oracle.edit_distance_hw(q, t) for q, t in pairs]
+    L = max(max(len(q), len(t)) for q, t in pairs)
+    L = max(L, 1)
+    qs = np.zeros((B, L), dtype=np.uint8)
+    ts = np.zeros((B, L), dtype=np.uint8)
+    ql = np.zeros(B, dtype=np.int64)
+    tl = np.zeros(B, dtype=np.int64)
+    for i, (q, t) in enumerate(pairs):
+        qb, tb = q.encode("latin1"), t.encode("latin1")
+        qs[i, : len(qb)] = np.frombuffer(qb, dtype=np.uint8)
+        ts[i, : len(tb)] = np.frombuffer(tb, dtype=np.uint8)
+        ql[i], tl[i] = len(qb), len(tb)
+    ops_stride = 2 * L + 16
+    ops = np.zeros((B, ops_stride), dtype=np.uint8)
+    meta = np.zeros((B, 3), dtype=np.int64)
+    lib.hw_traceback_batch(
+        qs.ctypes.data, ql.ctypes.data, ts.ctypes.data, tl.ctypes.data,
+        L, B, band, _nthreads(), ops.ctypes.data, ops_stride,
+        meta.ctypes.data,
+    )
+    out = []
+    for i, (q, t) in enumerate(pairs):
+        if meta[i, 0] == -2:  # defensive: ops overflow -> oracle
+            from ..ops import oracle
+
+            out.append(oracle.edit_distance_hw(q, t))
+            continue
+        row = ops[i]
+        nul = int(np.argmin(row)) if row[-1] == 0 else ops_stride
+        out.append((int(meta[i, 0]), int(meta[i, 1]), int(meta[i, 2]),
+                    row[:nul].tobytes().decode("latin1")))
+    return out
 
 
 def hw_banded_traceback(q: str, t: str, band: int = 128):

@@ -23,7 +23,9 @@
 //     cannot certify, -2 when ops_cap is too small.
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -113,6 +115,69 @@ int64_t hw_banded_traceback(const uint8_t* q, int64_t n, const uint8_t* t,
   std::reverse(ops, ops + len);
   ops[len] = '\0';
   return ed;
+}
+
+// Batched, threaded variant with internal band escalation: each pair runs
+// hw_banded_traceback at doubling bands until certified (band >= 2n always
+// certifies, since ed <= n in HW mode).  Replaces the serial per-survivor
+// Python confirm loop of the ends-ignored candidate graph
+// (end_invariant_functions.py:757-788's traceback pass).
+//   qs/ts: [B, stride] padded uint8; meta_out: [B, 3] int64
+//   (ed, start_j, end_j_incl); ops_out: [B, ops_stride] NUL-terminated.
+void hw_traceback_batch(const uint8_t* qs, const int64_t* qlens,
+                        const uint8_t* ts, const int64_t* tlens,
+                        int64_t stride, int64_t n_pairs, int64_t band0,
+                        int64_t nthreads, char* ops_out, int64_t ops_stride,
+                        int64_t* meta_out) {
+  if (nthreads < 1) nthreads = 1;
+  nthreads = std::min<int64_t>(nthreads, n_pairs);
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      const int64_t p = next.fetch_add(1);
+      if (p >= n_pairs) break;
+      const uint8_t* q = qs + p * stride;
+      const uint8_t* t = ts + p * stride;
+      const int64_t n = qlens[p];
+      const int64_t m = tlens[p];
+      char* ops = ops_out + p * ops_stride;
+      int64_t* meta = meta_out + p * 3;
+      if (n == 0 || m == 0) {
+        meta[0] = 0;  // empty query aligns to an empty span
+        meta[1] = 0;
+        meta[2] = -1;
+        ops[0] = '\0';
+        if (n > 0) {  // empty target: delete the whole query
+          meta[0] = n;
+          for (int64_t k = 0; k < n && k + 1 < ops_stride; ++k) ops[k] = 'I';
+          ops[std::min(n, ops_stride - 1)] = '\0';
+        }
+        continue;
+      }
+      int64_t band = band0 > 0 ? band0 : 128;
+      for (;;) {
+        const int64_t ed = hw_banded_traceback(q, n, t, m, band, &meta[1],
+                                               &meta[2], ops, ops_stride);
+        if (ed >= 0) {
+          meta[0] = ed;
+          break;
+        }
+        if (ed == -2 || band >= 2 * n) {
+          meta[0] = -2;  // ops buffer too small (caller falls back)
+          break;
+        }
+        band *= 2;
+      }
+    }
+  };
+  if (nthreads == 1) {
+    worker();
+    return;
+  }
+  std::vector<std::thread> threads;
+  threads.reserve(nthreads);
+  for (int64_t t = 0; t < nthreads; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
 }
 
 }  // extern "C"

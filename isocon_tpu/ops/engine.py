@@ -448,7 +448,7 @@ class PairEngine:
             # buckets >= pallas_L0 so only a few kernel shapes ever compile
             # (and all rounds share the same device-resident pools)
             myers_ok = (self.use_pallas and self.myers_sub >= 8
-                        and not hw_mode and Wp in _MYERS_WIN)
+                        and Wp in _MYERS_WIN)
             pool_ok = myers_ok or self.use_pallas
             buckets: dict = {}
             for i in rest:
@@ -510,6 +510,9 @@ class PairEngine:
                         if handle[0][0] == "myers":
                             floor = self._myers_floor(len(a), len(b),
                                                       handle[0][1])
+                        elif handle[0][0] == "myers_hw":
+                            floor = self._myers_floor_hw(len(a), len(b),
+                                                         handle[0][1])
                         else:
                             floor = self._certified_floor(len(a), len(b), Wp,
                                                           hw_mode)
@@ -582,6 +585,14 @@ class PairEngine:
         return 2 * margin - delta
 
     @staticmethod
+    def _myers_floor_hw(n: int, m: int, win: int) -> int:
+        """HW-mode Myers floor: any true distance <= this would have
+        certified under ``myers_certifies_hw`` (window margin both sides),
+        so an uncertified result implies ed > floor."""
+        margin = 32 * (win // 2)
+        return min(margin, (margin - max(m - n, 0)) // 2)
+
+    @staticmethod
     def _certified_floor(n: int, m: int, Wp: int, hw_mode: bool) -> int:
         """Largest v such that any true distance <= v would have been
         certified by a band of width Wp (so an uncertified result implies
@@ -618,7 +629,7 @@ class PairEngine:
         sub_L = self.myers_sub_for(Lb, self.myers_sub)
         win = _MYERS_WIN.get(Wp)
         myers_path = (self.use_pallas
-                      and sub_L <= self.myers_sub and not hw_mode
+                      and sub_L <= self.myers_sub
                       and win is not None
                       and Lb >= 256 and Lb % 32 == 0 and Lb >= 32 * win
                       # sub floors at 8 (Mosaic slice alignment), so the
@@ -663,6 +674,20 @@ class PairEngine:
                 qlen = np.pad(qlen, (0, Bp - B), constant_values=1)
                 tlen = np.pad(tlen, (0, Bp - B), constant_values=1)
             dev_mat, dev_lens = pool.device_arrays(self._pool_sharding())
+            if hw_mode:
+                # HW (infix) bit-parallel Myers: replaces the pooled
+                # wavefront for the ends-ignored candidate graph rounds
+                # (~1.5-3 s/call there vs one Myers sweep here)
+                if self.sharder is not None:
+                    ed, ej = self.sharder.myers_hw_pool(
+                        dev_mat, dev_lens, ia, ib, L=Lb, sub=sub_L, win=win)
+                else:
+                    from .myers_pallas import myers_hw_pool
+
+                    ed, ej = myers_hw_pool(dev_mat, dev_lens, ia, ib, L=Lb,
+                                           sub=sub_L, win=win,
+                                           interpret=self.interpret)
+                return ("myers_hw", win), B, ed, ej, qlen, tlen
             if self.sharder is not None:
                 ed = self.sharder.myers_ed_pool(dev_mat, dev_lens, ia, ib,
                                                 L=Lb, sub=sub_L, win=win)
@@ -762,6 +787,10 @@ class PairEngine:
             from .myers_pallas import myers_certifies
 
             cert = myers_certifies(ed, qlen[:B], tlen[:B], win=small)
+        elif kind == "myers_hw":
+            from .myers_pallas import myers_certifies_hw
+
+            cert = myers_certifies_hw(ed, qlen[:B], tlen[:B], win=small)
         else:
             cert = band_certifies(ed, qlen[:B], tlen[:B], Wp, hw_mode=hw_mode,
                                   small=small)

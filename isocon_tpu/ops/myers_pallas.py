@@ -54,13 +54,17 @@ ONES = np.uint32(0xFFFFFFFF)
 
 
 def _kernel(peq_ref, text_ref, nlen_ref, mlen_ref, nword_ref, nbit_ref,
-            out_ref, *, L: int, SUB: int, WIN: int):
+            out_ref, *refs, L: int, SUB: int, WIN: int, HW: bool = False):
     """peq_ref: [len(PLANES) * nwords * SUB, LANES] uint32
     text_ref: [L * SUB, LANES] int8 codes
-    nlen/mlen: [SUB, LANES] int32 (n <= m)
+    nlen/mlen: [SUB, LANES] int32 (n <= m enforced by a host swap in NW
+      mode; HW mode is asymmetric and takes the pair as given)
     nword/nbit: [SUB, LANES] int32 -- word index (n-1)//32 and a uint32
       single-bit mask 1 << ((n-1)%32) for the row-n walk
-    out_ref: [SUB, LANES] int32 final D[n][m]
+    out_ref: [SUB, LANES] int32 final D[n][m] (NW) / min_j D[n][j] (HW)
+    refs: HW mode only -- ej_ref [SUB, LANES] int32, the 1-indexed end
+      column of the smallest minimum (0 = empty target span), matching
+      ``oracle.edit_distance_hw``'s smallest-end tie rule.
 
     The band state (WIN pv/mv word planes) lives entirely in the fori-loop
     carry: the window advances monotonically, so a departing word is never
@@ -69,6 +73,21 @@ def _kernel(peq_ref, text_ref, nlen_ref, mlen_ref, nword_ref, nbit_ref,
     the compiled program O(WIN) instead of O(nphases*WIN); executable
     load/compile over a thin host link scales with program size and is the
     dominant fixed cost of small pipeline runs.
+
+    HW (infix / free-target-start) mode (``end_invariant_functions.py:
+    593-621``'s edlib mode="HW"): row 0 of the DP is all-zero, realized by
+    feeding hin=0 while the window top still sits at row 0; once the window
+    advances, the +1 top feed makes every value a monotone upper bound --
+    the same certify-or-escalate contract as NW.  The answer is
+    min_{j} D[n][j]: the kernel integrates W(j) = sum of row-n horizontal
+    deltas (gated to columns where row n's word is in-window -- a
+    contiguous span covering [n-margin, n+margin]), anchors at
+    D[n][n] (the sdiag latch), and tracks the masked running min of W over
+    j in [max(n-margin, 1), m]; then D[n][j*] = D[n][n] + W(j*) - W(n).
+    The delete-whole-query endpoint D[n][0] = n competes at the end.
+    Certified iff v <= margin and max(m-n, 0) + 2v <= margin
+    (``myers_certifies_hw``, mirroring ``band_certifies``' HW rule), so
+    escalation semantics match the wavefront path it replaces.
     """
     nwords = L // 32
 
@@ -76,14 +95,21 @@ def _kernel(peq_ref, text_ref, nlen_ref, mlen_ref, nword_ref, nbit_ref,
     mlen = mlen_ref[:]
     # dynamic sweep bound: one static compiled shape (L), but each block
     # stops at its own longest target -- answers are complete once column
-    # max(m) has been processed
-    nphases = (jnp.max(mlen) + 31) // 32
+    # max(m) has been processed (HW also needs column n for the anchor)
+    if HW:
+        nphases = (jnp.max(jnp.maximum(mlen, nlen)) + 31) // 32
+    else:
+        nphases = (jnp.max(mlen) + 31) // 32
     nword = nword_ref[:]
     nbit = nbit_ref[:].astype(jnp.uint32)
 
     ones = jnp.full((SUB, LANES), ONES, jnp.uint32)
     zeros = jnp.zeros((SUB, LANES), jnp.uint32)
     one = jnp.full((SUB, LANES), 1, jnp.uint32)
+    margin = 32 * (WIN // 2)
+    if HW:
+        jlow = jnp.maximum(nlen - margin, 1)
+        WBIG = jnp.full((SUB, LANES), 1 << 29, jnp.int32)
 
     def run_phase(p, carry):
         """One 32-char phase; p is traced (the phase loop is a fori_loop so
@@ -91,7 +117,10 @@ def _kernel(peq_ref, text_ref, nlen_ref, mlen_ref, nword_ref, nbit_ref,
         thin host link scales with program size and dominates the fixed cost
         of small runs).  W0/dslot/advance derive from p; the window rotation
         and diagonal-word reads become cheap vselects."""
-        sdiag, base, walk, pvs, mvs = carry
+        if HW:
+            sdiag, base, walk, wn, wmin, wj, pvs, mvs = carry
+        else:
+            sdiag, base, walk, pvs, mvs = carry
         W0 = jnp.clip(p - (WIN // 2), 0, nwords - WIN)
         dslot = p - W0  # window slot holding the diagonal word
         advance = (p >= (WIN // 2) + 1) & (p <= nwords - WIN + (WIN // 2))
@@ -113,7 +142,10 @@ def _kernel(peq_ref, text_ref, nlen_ref, mlen_ref, nword_ref, nbit_ref,
         is_nrow = [nword == W0 + k for k in range(WIN)]
 
         def char_step(s, carry):
-            sdiag, base, walk, pvs, mvs = carry
+            if HW:
+                sdiag, base, walk, wn, wmin, wj, pvs, mvs = carry
+            else:
+                sdiag, base, walk, pvs, mvs = carry
             j = 32 * p + s + 1        # 1-indexed column
             trow = text_ref[pl.ds((32 * p + s) * SUB, SUB), :].astype(
                 jnp.int32)
@@ -135,7 +167,12 @@ def _kernel(peq_ref, text_ref, nlen_ref, mlen_ref, nword_ref, nbit_ref,
                 jnp.int32)
             sdiag = sdiag + vplus - vminus
 
-            hp = one  # hin = +1 at window top
+            if HW:
+                # hin = 0 while the window top is the true row 0 (free
+                # target start); +1 (upper bound) once it has advanced
+                hp = jnp.where(W0 == 0, zeros, one)
+            else:
+                hp = one  # hin = +1 at window top
             hm = zeros
             ph_diag = zeros
             mh_diag = zeros
@@ -177,24 +214,50 @@ def _kernel(peq_ref, text_ref, nlen_ref, mlen_ref, nword_ref, nbit_ref,
             # latch base = D[n][n] when j == n
             base = jnp.where(j == nlen, sdiag, base)
 
-            # row-n walk: horizontal delta at per-pair row n for n < j <= m
+            # row-n walk: horizontal delta at per-pair row n
             hbp = ((hsel_p & nbit) != 0).astype(jnp.int32)
             hbm = ((hsel_m & nbit) != 0).astype(jnp.int32)
+            if HW:
+                # W(j): prefix sum of row-n h-deltas (gated to in-window
+                # columns by the hsel select itself); masked running min
+                # over valid end columns, smallest j on ties
+                walk = walk + (hbp - hbm)
+                wn = jnp.where(j == nlen, walk, wn)
+                better = (j >= jlow) & (j <= mlen) & (walk < wmin)
+                wmin = jnp.where(better, walk, wmin)
+                wj = jnp.where(better, j, wj)
+                return (sdiag, base, walk, wn, wmin, wj,
+                        tuple(new_pvs), tuple(new_mvs))
             in_walk = (j > nlen) & (j <= mlen)
             walk = walk + jnp.where(in_walk, hbp - hbm, 0)
 
             return (sdiag, base, walk, tuple(new_pvs), tuple(new_mvs))
 
-        return jax.lax.fori_loop(0, 32, char_step,
-                                 (sdiag, base, walk, pvs, mvs))
+        if HW:
+            inner0 = (sdiag, base, walk, wn, wmin, wj, pvs, mvs)
+        else:
+            inner0 = (sdiag, base, walk, pvs, mvs)
+        return jax.lax.fori_loop(0, 32, char_step, inner0)
 
     sdiag = jnp.zeros((SUB, LANES), jnp.int32)
     base = jnp.zeros((SUB, LANES), jnp.int32)
     walk = jnp.zeros((SUB, LANES), jnp.int32)
-    carry = (sdiag, base, walk, (ones,) * WIN, (zeros,) * WIN)
-    carry = jax.lax.fori_loop(0, nphases, run_phase, carry)
-    sdiag, base, walk = carry[:3]
-    out_ref[:] = base + walk
+    if HW:
+        carry = (sdiag, base, walk, jnp.zeros((SUB, LANES), jnp.int32),
+                 WBIG, jnp.zeros((SUB, LANES), jnp.int32),
+                 (ones,) * WIN, (zeros,) * WIN)
+        carry = jax.lax.fori_loop(0, nphases, run_phase, carry)
+        _sdiag, base, _walk, wn, wmin, wj = carry[:6]
+        vwalk = base + wmin - wn
+        # the delete-whole-query end D[n][0] = n; ties prefer the smaller
+        # end column (oracle.edit_distance_hw picks the smallest argmin)
+        out_ref[:] = jnp.minimum(vwalk, nlen)
+        refs[0][:] = jnp.where(nlen <= vwalk, 0, wj)
+    else:
+        carry = (sdiag, base, walk, (ones,) * WIN, (zeros,) * WIN)
+        carry = jax.lax.fori_loop(0, nphases, run_phase, carry)
+        sdiag, base, walk = carry[:3]
+        out_ref[:] = base + walk
 
 
 @functools.partial(jax.jit,
@@ -229,7 +292,7 @@ def myers_ed_pallas(qcodes, tcodes, qlen, tlen, *, L: int,
 
 
 def _myers_ed(qcodes, tcodes, qlen, tlen, *, L: int, interpret: bool,
-              sub: int, win: int = WIN):
+              sub: int, win: int = WIN, hw: bool = False):
     WINX = win
     assert L % 32 == 0 and L >= 32 * WINX
     SUBX = sub
@@ -238,12 +301,19 @@ def _myers_ed(qcodes, tcodes, qlen, tlen, *, L: int, interpret: bool,
     assert B % block == 0
     nwords = L // 32
 
-    # enforce n <= m by swapping (ED is symmetric)
-    swap = qlen > tlen
-    q_ = jnp.where(swap[:, None], tcodes, qcodes)
-    t_ = jnp.where(swap[:, None], qcodes, tcodes)
-    n_ = jnp.where(swap, tlen, qlen).astype(jnp.int32)
-    m_ = jnp.where(swap, qlen, tlen).astype(jnp.int32)
+    if hw:
+        # HW (infix) is asymmetric: q is the fully-consumed pattern, t the
+        # free-flank target -- no swap
+        q_, t_ = qcodes, tcodes
+        n_ = qlen.astype(jnp.int32)
+        m_ = tlen.astype(jnp.int32)
+    else:
+        # enforce n <= m by swapping (ED is symmetric)
+        swap = qlen > tlen
+        q_ = jnp.where(swap[:, None], tcodes, qcodes)
+        t_ = jnp.where(swap[:, None], qcodes, tcodes)
+        n_ = jnp.where(swap, tlen, qlen).astype(jnp.int32)
+        m_ = jnp.where(swap, qlen, tlen).astype(jnp.int32)
 
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
     q = jnp.where(pos < n_[:, None], q_.astype(jnp.int32), 7)
@@ -285,19 +355,52 @@ def _myers_ed(qcodes, tcodes, qlen, tlen, *, L: int, interpret: bool,
     PEQR = len(PLANES) * nwords * SUBX
     vec = lambda rows: pl.BlockSpec((rows, LANES), lambda g: (g, 0),
                                     memory_space=pltpu.VMEM)
+    ostruct = jax.ShapeDtypeStruct((G * SUBX, LANES), jnp.int32)
     out = pl.pallas_call(
-        functools.partial(_kernel, L=L, SUB=SUBX, WIN=WINX),
-        out_shape=jax.ShapeDtypeStruct((G * SUBX, LANES), jnp.int32),
+        functools.partial(_kernel, L=L, SUB=SUBX, WIN=WINX, HW=hw),
+        out_shape=[ostruct, ostruct] if hw else ostruct,
         grid=(G,),
         in_specs=[vec(PEQR), vec(L * SUBX), vec(SUBX), vec(SUBX), vec(SUBX),
                   vec(SUBX)],
-        out_specs=vec(SUBX),
+        out_specs=[vec(SUBX), vec(SUBX)] if hw else vec(SUBX),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(peq_packed, text_packed, nlen_packed, mlen_packed, nword_packed,
       nbit_packed)
+    if hw:
+        ed, ej = out
+        return ed.reshape(B), ej.reshape(B)
     return out.reshape(B)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("L", "interpret", "sub", "win"))
+def myers_hw_pool(pool_flat, plen, ia, ib, *, L: int, interpret: bool = False,
+                  sub: int = SUB, win: int = WIN):
+    """Pool-gather HW-mode (infix, free target start/end) Myers distance:
+    the bit-parallel replacement for the pooled wavefront on the
+    ends-ignored candidate graph (``end_invariant_functions.py:757-788``).
+    Returns (ed, ej) [B] int32; ej is the 1-indexed exclusive end of the
+    target span (smallest among minima), certified per
+    ``myers_certifies_hw``."""
+    U = pool_flat.shape[0] // L
+    pool = pool_flat.reshape(U, L)
+    qcodes = jnp.take(pool, ia, axis=0)
+    tcodes = jnp.take(pool, ib, axis=0)
+    qlen = jnp.take(plen, ia)
+    tlen = jnp.take(plen, ib)
+    return _myers_ed(qcodes, tcodes, qlen, tlen, L=L, interpret=interpret,
+                     sub=sub, win=win, hw=True)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("L", "interpret", "sub", "win"))
+def myers_hw_pallas(qcodes, tcodes, qlen, tlen, *, L: int,
+                    interpret: bool = False, sub: int = SUB, win: int = WIN):
+    """Dense-input HW-mode variant of ``myers_hw_pool`` (kernel tests)."""
+    return _myers_ed(qcodes, tcodes, qlen, tlen, L=L, interpret=interpret,
+                     sub=sub, win=win, hw=True)
 
 
 def myers_certifies(ed: np.ndarray, qlen: np.ndarray, tlen: np.ndarray,
@@ -311,3 +414,16 @@ def myers_certifies(ed: np.ndarray, qlen: np.ndarray, tlen: np.ndarray,
         & (delta <= margin - 1)
         & (v >= 0)
     )
+
+
+def myers_certifies_hw(ed: np.ndarray, qlen: np.ndarray, tlen: np.ndarray,
+                       win: int = WIN) -> np.ndarray:
+    """HW-mode certification: the window covers offsets j - i in
+    [-margin, margin]; a cost-v path has offsets in [-v, max(delta,0)+v]
+    with the target start drifting at most v further (the same rule as
+    ``wavefront.band_certifies``' HW case with o_lo = -margin,
+    o_hi = margin)."""
+    margin = 32 * (win // 2)
+    delta = tlen.astype(np.int64) - qlen.astype(np.int64)
+    v = ed.astype(np.int64)
+    return (v >= 0) & (v <= margin) & (np.maximum(delta, 0) + 2 * v <= margin)

@@ -109,6 +109,33 @@ class Sharder:
         assert ia.shape[0] % self.n == 0
         return fn(pool_flat, plen, self._shard_in(ia), self._shard_in(ib))
 
+    def myers_hw_pool(self, pool_flat, plen, ia, ib, *, L: int, sub: int,
+                      win: int = 7):
+        """Pool-gather HW-mode (infix) bit-parallel Myers, pair axis
+        sharded over the mesh (the ends-ignored candidate graph's distance
+        pass under a mesh)."""
+        key = ("myers_hw_pool", L, sub, win)
+        fn = self._jits.get(key)
+        if fn is None:
+            from ..ops.myers_pallas import myers_hw_pool
+
+            interp = self.interpret
+
+            @functools.partial(
+                shard_map, mesh=self.mesh,
+                in_specs=(P(), P(), P(self.axis), P(self.axis)),
+                out_specs=(self._outspec(), self._outspec()),
+                check_rep=False,
+            )
+            def run(pf, pl_, ias, ibs):
+                ed, ej = myers_hw_pool(pf, pl_, ias, ibs, L=L, sub=sub,
+                                       win=win, interpret=interp)
+                return self._gather(ed), self._gather(ej)
+
+            fn = self._jits[key] = jax.jit(run)
+        assert ia.shape[0] % self.n == 0
+        return fn(pool_flat, plen, self._shard_in(ia), self._shard_in(ib))
+
     def sg_align_pool(self, pool_flat, plen, ia, ib, ma, mi, go, ge,
                       *, Wp: int, L: int):
         """Pooled Pallas affine SG alignment (packed opcodes), pair axis

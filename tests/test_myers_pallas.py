@@ -126,3 +126,112 @@ def test_engine_myers_window_escalation():
         want = oracle.edit_distance(a, b)
         assert d == want, (d, want)
         assert want > 96  # really exercised the win=9 escalation
+
+
+def test_myers_hw_kernel_matches_oracle():
+    """HW (infix) mode: certified results equal the oracle's distance AND
+    smallest-minimum end position; uncertified results respect the
+    escalation floor (true ed > floor)."""
+    from isocon_tpu.ops.myers_pallas import (
+        myers_certifies_hw, myers_hw_pallas)
+
+    rng = random.Random(11)
+
+    def rs(n):
+        return "".join(rng.choice("ACGT") for _ in range(n))
+
+    def mut(s, k, maxlen):
+        s = list(s)
+        for _ in range(k):
+            op = rng.choice("SID")
+            p = rng.randrange(len(s))
+            if op == "S":
+                s[p] = rng.choice("ACGT")
+            elif op == "I" and len(s) < maxlen:
+                s.insert(p, rng.choice("ACGT"))
+            elif len(s) > 1:
+                del s[p]
+        return "".join(s)
+
+    B, L = 1024, 256
+    pairs = []
+    for i in range(B):
+        t = rs(rng.randrange(100, 250))
+        mode = i % 6
+        if mode == 0:  # exact substring: HW distance 0
+            a, b = sorted(rng.sample(range(len(t)), 2))
+            q = t[a:b + 1] or t[:5]
+        elif mode == 1:  # mutated substring
+            a, b = sorted(rng.sample(range(len(t)), 2))
+            q = mut(t[a:b + 1] or t[:20], rng.randrange(0, 12), L - 4)
+        elif mode == 2:  # query longer than target (n > m)
+            q = mut(t + rs(rng.randrange(1, 25)),
+                    rng.randrange(0, 6), L - 4)[:L - 4]
+        elif mode == 3:  # comparable, noisy
+            q = mut(t, rng.randrange(0, 30), L - 4)
+        elif mode == 4:  # unrelated
+            q = rs(rng.randrange(40, 240))
+        else:  # tiny query
+            q = rs(rng.randrange(1, 12))
+        pairs.append((q, t))
+    q, qlen = pad_batch([a for a, _ in pairs], L)
+    t, tlen = pad_batch([b for _, b in pairs], L)
+    ed, ej = myers_hw_pallas(q, t, qlen, tlen, L=L, interpret=True)
+    ed, ej = np.asarray(ed), np.asarray(ej)
+    cert = myers_certifies_hw(ed, qlen, tlen)
+    assert cert.mean() > 0.3
+    margin = 96  # win=7
+    checked = 0
+    for i in range(0, B, 7):
+        want, _s0, e0, _ops = oracle.edit_distance_hw(*pairs[i])
+        if cert[i]:
+            checked += 1
+            assert ed[i] == want, (i, ed[i], want)
+            assert ej[i] == e0 + 1, (i, ej[i], e0 + 1)
+        else:
+            delta = int(tlen[i]) - int(qlen[i])
+            floor = min(margin, (margin - max(delta, 0)) // 2)
+            assert want > floor, (i, want, floor)
+    assert checked > 30
+
+
+def test_engine_hw_myers_path_matches_oracle():
+    """engine.edit_distances(hw_mode=True) through the Myers pool path
+    (use_pallas + interpret, native routing disabled by batch size) must
+    match the oracle, including pairs that escalate past win=7."""
+    import os
+
+    from isocon_tpu.ops.engine import PairEngine
+
+    rng = random.Random(23)
+
+    def rs(n):
+        return "".join(rng.choice("ACGT") for _ in range(n))
+
+    pairs = []
+    for i in range(300):
+        t = rs(rng.randrange(150, 400))
+        if i % 3 == 0:
+            a, b = sorted(rng.sample(range(len(t)), 2))
+            q = t[a:b + 1] or t[:10]
+        elif i % 3 == 1:
+            q = rs(rng.randrange(100, 400))
+        else:
+            ql = list(t)
+            for p in rng.sample(range(len(t)), len(t) // 10):
+                ql[p] = rng.choice("ACGT")
+            q = "".join(ql)
+        pairs.append((q, t))
+
+    os.environ["ISOCON_NO_NATIVE"] = "1"
+    try:
+        eng = PairEngine(batch_pairs=128, use_pallas=True, ed_batch=1024,
+                         interpret=True)
+        eng.pallas_L0 = 512
+        eds, ejs = eng.edit_distances(pairs, hw_mode=True)
+    finally:
+        del os.environ["ISOCON_NO_NATIVE"]
+    for (q, t), d, ej in zip(pairs, eds, ejs):
+        want, _s0, e0, _ops = oracle.edit_distance_hw(q, t)
+        assert d == want, (len(q), len(t), d, want)
+        assert ej == e0 + 1, (len(q), len(t), ej, e0 + 1)

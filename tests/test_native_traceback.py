@@ -43,3 +43,48 @@ def test_native_hw_uncertified_band():
     t = "C" * 200
     assert hw_banded_traceback(q, t, band=8) is None
     assert oracle.edit_distance_hw_banded(q, t, band=8) is None
+
+
+def test_hw_traceback_batch_matches_oracle():
+    """The threaded batch confirm API must agree with the single-pair
+    oracle on distance, span, and ops (including band escalation and the
+    n>m / empty edge cases)."""
+    import random
+
+    from isocon_tpu.native import hw_traceback_batch, native_available
+    from isocon_tpu.ops import oracle
+
+    rng = random.Random(31)
+
+    def rs(n):
+        return "".join(rng.choice("ACGT") for _ in range(n))
+
+    pairs = []
+    for i in range(80):
+        t = rs(rng.randrange(50, 400))
+        if i % 4 == 0:
+            a, b = sorted(rng.sample(range(len(t)), 2))
+            q = t[a:b + 1] or t[:5]
+        elif i % 4 == 1:
+            q = rs(rng.randrange(20, 500))  # unrelated, may exceed len(t)
+        elif i % 4 == 2:
+            ql = list(t)
+            for p in rng.sample(range(len(t)), len(t) // 8):
+                ql[p] = rng.choice("ACGT")
+            q = "".join(ql)
+        else:
+            q = t + rs(rng.randrange(1, 40))  # n > m
+        pairs.append((q, t))
+    pairs.append(("", "ACGT"))
+    pairs.append(("ACGT", ""))
+
+    res = hw_traceback_batch(pairs)
+    assert len(res) == len(pairs)
+    for (q, t), (ed, s0, e0, ops) in zip(pairs, res):
+        want_ed, want_s0, want_e0, want_ops = oracle.edit_distance_hw(q, t) \
+            if (q and t) else oracle.edit_distance_hw(q, t)
+        assert ed == want_ed, (len(q), len(t), ed, want_ed)
+        if native_available():
+            # span/ops tie rules are pinned to the oracle
+            assert (s0, e0, ops) == (want_s0, want_e0, want_ops), (
+                len(q), len(t))
