@@ -315,6 +315,47 @@ def ops_to_alignment(opcodes, q: str, t: str, end_i: int, end_j: int,
     return a1, a2
 
 
+def ops_to_alignment_counts(opcodes, q: str, t: str, end_i: int, end_j: int,
+                            stop_i: int, stop_j: int):
+    """``ops_to_alignment`` plus the reference's (matches, mismatches,
+    indels) triple (``SW_alignment_module.py:78-86``), with the counts
+    computed from the opcode vectors instead of a per-character Python
+    zip over the aligned strings -- that loop was ~half the host decode
+    cost of a large affine batch.  Matches/mismatches only occur in the
+    mid section (both end-gap regions pair a char against a dash)."""
+    ops = np.asarray(opcodes)
+    ops = ops[ops != OP_NONE][::-1]
+    consq = ops != OP_GAPQ
+    const = ops != OP_GAPT
+    nq = int(consq.sum())
+    nt = int(const.sum())
+    assert (stop_i + nq, stop_j + nt) == (end_i, end_j), (
+        stop_i, nq, stop_j, nt, end_i, end_j,
+    )
+    qa = np.frombuffer(q.encode("latin1"), dtype=np.uint8)
+    ta = np.frombuffer(t.encode("latin1"), dtype=np.uint8)
+    qi = stop_i + np.cumsum(consq) - 1
+    ti = stop_j + np.cumsum(const) - 1
+    if len(ops):
+        m1 = np.where(consq, qa[np.minimum(qi, len(qa) - 1)], _DASH)
+        m2 = np.where(const, ta[np.minimum(ti, len(ta) - 1)], _DASH)
+        both = consq & const
+        eq = m1 == m2
+        matches = int((both & eq).sum())
+        mismatches = int((both & ~eq).sum())
+        mid1 = m1.tobytes().decode("latin1")
+        mid2 = m2.tobytes().decode("latin1")
+    else:
+        mid1 = mid2 = ""
+        matches = mismatches = 0
+    t1 = q[end_i:]
+    t2 = t[end_j:]
+    a1 = "-" * stop_j + q[:stop_i] + mid1 + t1 + "-" * len(t2)
+    a2 = t[:stop_j] + "-" * stop_i + mid2 + "-" * len(t1) + t2
+    indels = len(a1) - matches - mismatches
+    return a1, a2, (matches, mismatches, indels)
+
+
 def decode_traceback(
     dirs: np.ndarray,
     q: str,

@@ -18,7 +18,8 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 from . import oracle
-from .affine import BandOverflow, ops_to_alignment, sg_align_with_ops
+from .affine import (BandOverflow, ops_to_alignment_counts,
+                     sg_align_with_ops)
 from .encode import encode_seq
 from .wavefront import banded_ed, band_certifies
 
@@ -1026,11 +1027,6 @@ class PairEngine:
                     raise BandOverflow((a[:30], b[:30], Wp))
                 next_round.append(i)
                 continue
-            a1, a2 = ops_to_alignment(ops[pos], a, b, int(ei[pos]),
-                                      int(ej[pos]), int(fi[pos]), int(fj[pos]))
-            matches = sum(1 for x, y in zip(a1, a2) if x == y and x != "-")
-            mismatches = sum(
-                1 for x, y in zip(a1, a2) if x != y and x != "-" and y != "-"
-            )
-            indels = len(a1) - matches - mismatches
-            out[i] = (a1, a2, (matches, mismatches, indels))
+            out[i] = ops_to_alignment_counts(
+                ops[pos], a, b, int(ei[pos]), int(ej[pos]), int(fi[pos]),
+                int(fj[pos]))
