@@ -1,9 +1,12 @@
-"""10k-read phase-1 benchmark (BASELINE.json config 2).
+"""10k-read FULL-pipeline benchmark (BASELINE.json config 2).
 
 Generates a deterministic synthetic 10,000-read dataset (26 isoforms of a
-2-exon-structure gene family, ~1% read noise), runs `get_candidates`, and
-prints one JSON line with wall-clock, engine counter breakdown, and
-isoform recovery.  Target: phase 1 < 300 s on the TPU.
+2-exon-structure gene family, ~1% read noise), runs the complete
+`pipeline` (phase 1 candidates + phase 2 statistical filter), and prints
+one JSON line with per-phase wall-clock (from the run's own logfile),
+engine counters, and isoform precision/recall over final_candidates.fa.
+Targets: phase 1 < 300 s on the TPU; phase 2 exercises the stat-filter
+loop at ~1.6k-candidate scale (round-3 VERDICT #6).
 
 Usage: python scripts/bench_10k.py [n_reads] [outdir]
 """
@@ -76,22 +79,37 @@ def main():
     from isocon_tpu.cli import main as cli_main
     from isocon_tpu.io import read_fasta
 
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from bench_e2e_n200 import parse_logfile
+
     outdir = os.path.join(OUT, "out")
     t0 = time.perf_counter()
     cli_main([
-        "get_candidates", "-fl_reads", read_file, "-outfolder", outdir,
+        "pipeline", "-fl_reads", read_file, "-outfolder", outdir,
     ])
     dt = time.perf_counter() - t0
 
-    cands = {seq for _a, seq in read_fasta(
+    rec = parse_logfile(os.path.join(outdir, "logfile.txt"))
+    phase1 = {seq for _a, seq in read_fasta(
         os.path.join(outdir, "candidates_converged.fa"))}
-    recovered = sum(1 for iso in isoforms if iso in cands)
+    finals = {seq for _a, seq in read_fasta(
+        os.path.join(outdir, "final_candidates.fa"))}
+    recovered = sum(1 for iso in isoforms if iso in finals)
+    true_pos = sum(1 for seq in finals if seq in set(isoforms))
     print(json.dumps({
         "n_reads": N_READS,
-        "phase1_seconds": round(dt, 1),
+        "pipeline_seconds": round(dt, 1),
+        "phase1_seconds": rec.get("phase1_seconds"),
+        "phase2_seconds": rec.get("phase2_seconds"),
+        "engine": {k: rec[k] for k in
+                   ("ed_pairs", "ed_seconds", "ed_calls", "align_pairs",
+                    "align_seconds", "align_calls") if k in rec},
+        "phase1_candidates": len(phase1),
+        "final_candidates": len(finals),
         "isoforms_recovered": recovered,
         "isoforms_total": len(isoforms),
-        "n_candidates": len(cands),
+        "recall": round(recovered / len(isoforms), 4),
+        "precision": round(true_pos / max(len(finals), 1), 4),
     }))
 
 

@@ -76,6 +76,10 @@ def test_pipeline_reconstructs_isoforms(synthetic):
     assert os.path.exists(info)
     rows = [l.split("\t") for l in open(info) if l.strip()]
     assert len(rows) >= 20
+    # the reference's per-round scratch spills exist for mid-run
+    # inspection (isocon_statistical_test.py:257-263,280-282)
+    assert os.path.exists(os.path.join(out, "temp_candidates_step_1.fa"))
+    assert os.path.exists(os.path.join(out, "remaining_to_align.fa"))
 
 
 def test_get_candidates_subcommand(synthetic):
