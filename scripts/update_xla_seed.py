@@ -7,8 +7,17 @@ already compiled.  Only the TPU backend is seeded (CPU AOT entries embed
 host CPU features and are cheap to recompile; see
 isocon_tpu/ops/engine.py:enable_compilation_cache).
 
-Usage: python scripts/update_xla_seed.py [--prune]
-  --prune  delete seed entries no longer present in the runtime cache
+The runtime cache accumulates stale entries whenever a kernel file
+changes (old keys are never looked up again).  ``--used-since`` keeps the
+seed minimal: an entry counts as live if it was read or written after the
+given time -- on this relatime filesystem the first cache hit after a
+write bumps atime, so "run the full workload sweep, then sync with
+--used-since <sweep start>" ships exactly the entries the sweep touched.
+
+Usage: python scripts/update_xla_seed.py [--prune] [--used-since EPOCH]
+  --prune             delete seed entries no longer eligible
+  --used-since EPOCH  only entries with max(atime, mtime) >= EPOCH
+                      (seconds since epoch, e.g. $(date -d '1 hour ago' +%s))
 """
 import os
 import shutil
@@ -21,6 +30,9 @@ RUNTIME = os.environ.get(
 
 def main() -> None:
     prune = "--prune" in sys.argv
+    since = 0.0
+    if "--used-since" in sys.argv:
+        since = float(sys.argv[sys.argv.index("--used-since") + 1])
     for backend in ("tpu",):
         src = os.path.join(RUNTIME, backend)
         dst = os.path.join(REPO, "xla_seed", backend)
@@ -28,7 +40,11 @@ def main() -> None:
             print(f"{backend}: no runtime cache at {src}")
             continue
         os.makedirs(dst, exist_ok=True)
-        names = set(os.listdir(src))
+        names = set()
+        for name in os.listdir(src):
+            st = os.stat(os.path.join(src, name))
+            if max(st.st_atime, st.st_mtime) >= since:
+                names.add(name)
         copied = 0
         for name in names:
             d = os.path.join(dst, name)
