@@ -165,3 +165,30 @@ def test_myers_sub_floor():
     # myers_sub < 8 (odd ed_batch configs): result exceeds myers_sub, so
     # the gate rejects the Myers path instead of compiling sub<8
     assert PairEngine.myers_sub_for(2048, 4) > 4
+
+
+def test_ed_wavefront_tail_shrink():
+    """Mid-size wavefront ED rounds drop to the smallest power-of-two
+    batch shape >= the chunk (floor 512) instead of padding to the 8192
+    full-batch target (advisor r3: 4x dummy grid blocks + 4x download)."""
+    import random
+
+    from isocon_tpu.ops.engine import PairEngine
+
+    rng = random.Random(41)
+
+    def rs(n):
+        return "".join(rng.choice("ACGT") for _ in range(n))
+
+    eng = PairEngine(batch_pairs=128, use_pallas=True, ed_batch=65536,
+                     interpret=False)
+    eng.pallas_L0 = 256
+    eng.batch_pairs = 8192  # accelerator full-batch target
+    pairs = [(rs(180), rs(180)) for _ in range(300)]
+    # Wp=2048 is outside the Myers window map -> pooled wavefront path
+    handle = eng._launch_batch(pairs, list(range(300)), 256, 2048,
+                               hw_mode=False)
+    (kind, _small), B, _ed, _ej, qlen, _tlen = handle
+    assert kind == "wave"
+    assert B == 300
+    assert qlen.shape[0] == 512, qlen.shape  # not 8192
