@@ -86,7 +86,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
                     lib.hw_traceback_batch.argtypes = [
                         ctypes.c_void_p, ctypes.c_void_p,
                         ctypes.c_void_p, ctypes.c_void_p,
-                        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                        ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
                         ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
                         ctypes.c_void_p,
                     ]
@@ -201,20 +201,31 @@ def affine_sg_batch(s1s: np.ndarray, s1lens: np.ndarray, s2s: np.ndarray,
     )
 
 
-def hw_traceback_batch(pairs, band: int = 128):
+def hw_traceback_batch(pairs, band: int = 128, ed_hint=None):
     """Batched threaded HW tracebacks with internal band escalation: the
     vectorized replacement for per-pair ``hw_banded_traceback`` loops
     (the ends-ignored graph's confirm pass).  ``pairs`` is a sequence of
-    (q, t) strings; returns a list of (ed, start_j, end_j_incl, ops)."""
+    (q, t) strings; returns a list of (ed, start_j, end_j_incl, ops).
+
+    ``ed_hint[i]`` (>= 0, typically the batched prefilter's distance)
+    starts pair i at band = max(16, 2*hint), which certifies immediately
+    and shrinks the DP ~5x vs the 128 default; a wrong (too-small) hint
+    merely escalates internally, never changes the result."""
     lib = get_lib()
     B = len(pairs)
     if B == 0:
         return []
+    bands = np.full(B, band, dtype=np.int64)
+    if ed_hint is not None:
+        h = np.asarray(ed_hint, dtype=np.int64)
+        known = h >= 0
+        bands[known] = np.maximum(16, 2 * h[known])
     if lib is None or not hasattr(lib, "hw_traceback_batch"):
         from ..ops import oracle
 
-        return [hw_banded_traceback(q, t, band=band)
-                or oracle.edit_distance_hw(q, t) for q, t in pairs]
+        return [hw_banded_traceback(q, t, band=int(b))
+                or oracle.edit_distance_hw(q, t)
+                for (q, t), b in zip(pairs, bands)]
     L = max(max(len(q), len(t)) for q, t in pairs)
     L = max(L, 1)
     qs = np.zeros((B, L), dtype=np.uint8)
@@ -231,7 +242,7 @@ def hw_traceback_batch(pairs, band: int = 128):
     meta = np.zeros((B, 3), dtype=np.int64)
     lib.hw_traceback_batch(
         qs.ctypes.data, ql.ctypes.data, ts.ctypes.data, tl.ctypes.data,
-        L, B, band, _nthreads(), ops.ctypes.data, ops_stride,
+        L, B, bands.ctypes.data, _nthreads(), ops.ctypes.data, ops_stride,
         meta.ctypes.data,
     )
     out = []

@@ -124,9 +124,16 @@ int64_t hw_banded_traceback(const uint8_t* q, int64_t n, const uint8_t* t,
 // (end_invariant_functions.py:757-788's traceback pass).
 //   qs/ts: [B, stride] padded uint8; meta_out: [B, 3] int64
 //   (ed, start_j, end_j_incl); ops_out: [B, ops_stride] NUL-terminated.
+//   band0s: per-pair initial band (<= 0 -> 128).  When the caller knows
+//   the pair's distance d (the batched prefilter does), band = 2d
+//   certifies immediately and the DP shrinks ~5x vs the 128 default --
+//   every optimal path of cost d keeps offsets in [-d, delta+d] and all
+//   last-row minima sit inside the band, so the smallest-end tie rule
+//   sees the same set.
 void hw_traceback_batch(const uint8_t* qs, const int64_t* qlens,
                         const uint8_t* ts, const int64_t* tlens,
-                        int64_t stride, int64_t n_pairs, int64_t band0,
+                        int64_t stride, int64_t n_pairs,
+                        const int64_t* band0s,
                         int64_t nthreads, char* ops_out, int64_t ops_stride,
                         int64_t* meta_out) {
   if (nthreads < 1) nthreads = 1;
@@ -154,7 +161,7 @@ void hw_traceback_batch(const uint8_t* qs, const int64_t* qlens,
         }
         continue;
       }
-      int64_t band = band0 > 0 ? band0 : 128;
+      int64_t band = band0s[p] > 0 ? band0s[p] : 128;
       for (;;) {
         const int64_t ed = hw_banded_traceback(q, n, t, m, band, &meta[1],
                                                &meta[2], ops, ops_stride);

@@ -88,3 +88,32 @@ def test_hw_traceback_batch_matches_oracle():
             # span/ops tie rules are pinned to the oracle
             assert (s0, e0, ops) == (want_s0, want_e0, want_ops), (
                 len(q), len(t))
+
+
+def test_hw_traceback_batch_ed_hints():
+    """Band hints from a distance prefilter must not change results:
+    exact hints certify immediately, too-small hints escalate internally."""
+    import random
+
+    from isocon_tpu.native import hw_traceback_batch
+    from isocon_tpu.ops import oracle
+
+    rng = random.Random(47)
+
+    def rs(n):
+        return "".join(rng.choice("ACGT") for _ in range(n))
+
+    pairs = []
+    for i in range(40):
+        t = rs(rng.randrange(80, 300))
+        ql = list(t)
+        for p in rng.sample(range(len(t)), rng.randrange(0, len(t) // 6)):
+            ql[p] = rng.choice("ACGT")
+        pairs.append(("".join(ql), t))
+    want = [oracle.edit_distance_hw(q, t) for q, t in pairs]
+    exact = [w[0] for w in want]
+    res_exact = hw_traceback_batch(pairs, ed_hint=exact)
+    res_small = hw_traceback_batch(pairs, ed_hint=[max(0, e - 3)
+                                                  for e in exact])
+    res_none = hw_traceback_batch(pairs)
+    assert res_exact == res_none == res_small == want
