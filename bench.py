@@ -177,7 +177,12 @@ def bench_e2e_n200():
     import subprocess
 
     runs = []
+    t_begin = time.perf_counter()
     for _rep in range(3):
+        if runs and time.perf_counter() - t_begin > 900:
+            # stalled-link budget guard: two 600 s timeouts already prove
+            # the weather; don't spend a third
+            break
         try:
             r = subprocess.run(
                 [sys.executable,
