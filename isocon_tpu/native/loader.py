@@ -87,6 +87,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
                         ctypes.c_void_p, ctypes.c_void_p,
                         ctypes.c_void_p, ctypes.c_void_p,
                         ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+                        ctypes.c_void_p,
                         ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
                         ctypes.c_void_p,
                     ]
@@ -201,7 +202,7 @@ def affine_sg_batch(s1s: np.ndarray, s1lens: np.ndarray, s2s: np.ndarray,
     )
 
 
-def hw_traceback_batch(pairs, band: int = 128, ed_hint=None):
+def hw_traceback_batch(pairs, band: int = 128, ed_hint=None, k_cap=None):
     """Batched threaded HW tracebacks with internal band escalation: the
     vectorized replacement for per-pair ``hw_banded_traceback`` loops
     (the ends-ignored graph's confirm pass).  ``pairs`` is a sequence of
@@ -210,7 +211,10 @@ def hw_traceback_batch(pairs, band: int = 128, ed_hint=None):
     ``ed_hint[i]`` (>= 0, typically the batched prefilter's distance)
     starts pair i at band = max(16, 2*hint), which certifies immediately
     and shrinks the DP ~5x vs the 128 default; a wrong (too-small) hint
-    merely escalates internally, never changes the result."""
+    merely escalates internally, never changes the result.
+
+    ``k_cap[i]`` (> 0) makes escalation give up once ed > cap is proven
+    (entry becomes (-1, 0, 0, '') -- the engine's edlib-k contract)."""
     lib = get_lib()
     B = len(pairs)
     if B == 0:
@@ -220,16 +224,25 @@ def hw_traceback_batch(pairs, band: int = 128, ed_hint=None):
         h = np.asarray(ed_hint, dtype=np.int64)
         known = h >= 0
         bands[known] = np.maximum(16, 2 * h[known])
+    caps = None
+    if k_cap is not None:
+        caps = np.asarray(k_cap, dtype=np.int64)
     if lib is None or not hasattr(lib, "hw_traceback_batch"):
         from ..ops import oracle
 
-        return [hw_banded_traceback(q, t, band=int(b))
-                or oracle.edit_distance_hw(q, t)
-                for (q, t), b in zip(pairs, bands)]
+        out = []
+        for i, ((q, t), b) in enumerate(zip(pairs, bands)):
+            r = (hw_banded_traceback(q, t, band=int(b))
+                 or oracle.edit_distance_hw(q, t))
+            if caps is not None and caps[i] > 0 and r[0] > caps[i]:
+                r = (-1, 0, 0, "")
+            out.append(r)
+        return out
     L = max(max(len(q), len(t)) for q, t in pairs)
     L = max(L, 1)
-    qs = np.zeros((B, L), dtype=np.uint8)
-    ts = np.zeros((B, L), dtype=np.uint8)
+    # np.empty: the C++ side reads only qlens/tlens prefixes per row
+    qs = np.empty((B, L), dtype=np.uint8)
+    ts = np.empty((B, L), dtype=np.uint8)
     ql = np.zeros(B, dtype=np.int64)
     tl = np.zeros(B, dtype=np.int64)
     for i, (q, t) in enumerate(pairs):
@@ -242,7 +255,9 @@ def hw_traceback_batch(pairs, band: int = 128, ed_hint=None):
     meta = np.zeros((B, 3), dtype=np.int64)
     lib.hw_traceback_batch(
         qs.ctypes.data, ql.ctypes.data, ts.ctypes.data, tl.ctypes.data,
-        L, B, bands.ctypes.data, _nthreads(), ops.ctypes.data, ops_stride,
+        L, B, bands.ctypes.data,
+        caps.ctypes.data if caps is not None else None,
+        _nthreads(), ops.ctypes.data, ops_stride,
         meta.ctypes.data,
     )
     out = []
@@ -252,9 +267,16 @@ def hw_traceback_batch(pairs, band: int = 128, ed_hint=None):
 
             out.append(oracle.edit_distance_hw(q, t))
             continue
+        if meta[i, 0] == -1:  # gave up past k_cap
+            out.append((-1, 0, 0, ""))
+            continue
+        ed = int(meta[i, 0])
+        if caps is not None and caps[i] > 0 and ed > caps[i]:
+            out.append((-1, 0, 0, ""))
+            continue
         row = ops[i]
         nul = int(np.argmin(row)) if row[-1] == 0 else ops_stride
-        out.append((int(meta[i, 0]), int(meta[i, 1]), int(meta[i, 2]),
+        out.append((ed, int(meta[i, 1]), int(meta[i, 2]),
                     row[:nul].tobytes().decode("latin1")))
     return out
 

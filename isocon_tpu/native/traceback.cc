@@ -130,10 +130,15 @@ int64_t hw_banded_traceback(const uint8_t* q, int64_t n, const uint8_t* t,
 //   every optimal path of cost d keeps offsets in [-d, delta+d] and all
 //   last-row minima sit inside the band, so the smallest-end tie rule
 //   sees the same set.
+//   caps: optional per-pair edit-distance cutoffs (NULL or <= 0 entry =
+//   none): escalation gives up (meta ed = -1) once an uncertified band
+//   already proves ed > cap -- the same early-giveup rule as the
+//   engine's serial loop (band/2 >= cap), so hopeless pairs stop at a
+//   narrow band instead of escalating to the full DP.
 void hw_traceback_batch(const uint8_t* qs, const int64_t* qlens,
                         const uint8_t* ts, const int64_t* tlens,
                         int64_t stride, int64_t n_pairs,
-                        const int64_t* band0s,
+                        const int64_t* band0s, const int64_t* caps,
                         int64_t nthreads, char* ops_out, int64_t ops_stride,
                         int64_t* meta_out) {
   if (nthreads < 1) nthreads = 1;
@@ -162,6 +167,8 @@ void hw_traceback_batch(const uint8_t* qs, const int64_t* qlens,
         continue;
       }
       int64_t band = band0s[p] > 0 ? band0s[p] : 128;
+      const int64_t cap = caps ? caps[p] : 0;
+      const int64_t maxlen = n > m ? n : m;
       for (;;) {
         const int64_t ed = hw_banded_traceback(q, n, t, m, band, &meta[1],
                                                &meta[2], ops, ops_stride);
@@ -171,6 +178,10 @@ void hw_traceback_batch(const uint8_t* qs, const int64_t* qlens,
         }
         if (ed == -2 || band >= 2 * n) {
           meta[0] = -2;  // ops buffer too small (caller falls back)
+          break;
+        }
+        if (cap > 0 && (band / 2 >= cap || band > 4 * maxlen)) {
+          meta[0] = -1;  // uncertified at a band already proving ed > cap
           break;
         }
         band *= 2;

@@ -533,31 +533,27 @@ class PairEngine:
     def _ed_native(self, pairs, idxs, caps, hw_mode, ed_out, ej_out):
         """CPU fast path: threaded C++ Myers (NW) / banded traceback (HW)."""
         if hw_mode:
-            from ..native import hw_banded_traceback
+            # one threaded batch call with the serial loop's escalation
+            # semantics (band 64 doubling, give up once band/2 >= cap) --
+            # the serial per-pair loop was 96 s of a 10k-scale profile
+            from ..native import hw_traceback_batch
 
-            for i in idxs:
-                a, b = pairs[i]
-                cap = int(caps[i])
-                band = 64
-                while True:
-                    res = hw_banded_traceback(a, b, band=band)
-                    if res is not None:
-                        d, _s0, e0, _ops = res
-                        ed_out[i] = d if d <= cap else -1
-                        ej_out[i] = e0 + 1
-                        break
-                    # uncertified at band B implies ed > B/2
-                    if band // 2 >= cap or band > 4 * max(len(a), len(b)):
-                        ed_out[i] = -1
-                        break
-                    band *= 2
+            res = hw_traceback_batch(
+                [pairs[i] for i in idxs], band=64,
+                k_cap=[int(caps[i]) for i in idxs])
+            for i, (d, _s0, e0, _ops) in zip(idxs, res):
+                ed_out[i] = d
+                ej_out[i] = e0 + 1 if d >= 0 else 0
             return
         from ..native import myers_ed_batch_k
 
         Lmax = max(max(len(pairs[i][0]), len(pairs[i][1])) for i in idxs)
         B = len(idxs)
-        q = np.full((B, Lmax), 5, dtype=np.uint8)
-        t = np.full((B, Lmax), 6, dtype=np.uint8)
+        # np.empty, not np.full: the native kernels read only the length
+        # prefix of each row, and zero-filling multi-GB padded batches was
+        # 313 s of a 10k-scale profile
+        q = np.empty((B, Lmax), dtype=np.uint8)
+        t = np.empty((B, Lmax), dtype=np.uint8)
         qlen = np.zeros(B, dtype=np.int64)
         tlen = np.zeros(B, dtype=np.int64)
         ks = np.empty(B, dtype=np.int64)
@@ -910,8 +906,9 @@ class PairEngine:
 
         Lmax = max(max(len(pairs[i][0]), len(pairs[i][1])) for i in idxs)
         B = len(idxs)
-        q = np.full((B, Lmax), 5, dtype=np.uint8)
-        t = np.full((B, Lmax), 6, dtype=np.uint8)
+        # np.empty: the native DP reads only the length prefix per row
+        q = np.empty((B, Lmax), dtype=np.uint8)
+        t = np.empty((B, Lmax), dtype=np.uint8)
         qlen = np.zeros(B, dtype=np.int64)
         tlen = np.zeros(B, dtype=np.int64)
         sc = np.zeros((B, 4), dtype=np.int64)
