@@ -18,7 +18,7 @@ from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
-from ..alnutils import read_errors_from_alignment
+from ..alnutils import read_errors_batch
 
 _DASH = np.uint8(ord("-"))
 
@@ -132,13 +132,16 @@ def get_support(
 
 
 def get_read_errors(read_alignments_to_c, read_alignments_to_t):
-    """``functions.py:204-215``."""
-    errors = {}
-    for read_acc, (aln_t, aln_read, _st) in read_alignments_to_t.items():
-        errors[read_acc] = read_errors_from_alignment(aln_t, aln_read)
-    for read_acc, (aln_c, aln_read, _st) in read_alignments_to_c.items():
-        errors[read_acc] = read_errors_from_alignment(aln_c, aln_read)
-    return errors
+    """``functions.py:204-215``.  Batched: one padded-matrix pass per
+    edge (c-assigned reads overwrite t-assigned ones, as the reference's
+    dict-update order does)."""
+    keys = list(read_alignments_to_t) + list(read_alignments_to_c)
+    pairs = [(aln, read) for aln, read, _st in
+             read_alignments_to_t.values()]
+    pairs += [(aln, read) for aln, read, _st in
+              read_alignments_to_c.values()]
+    out = read_errors_batch(pairs)
+    return dict(zip(keys, out))
 
 
 def get_empirical_error_probabilities(

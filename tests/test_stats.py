@@ -186,3 +186,44 @@ def test_statistical_test_separates_true_variant():
                             aln_tc, aln_ct, {}, 43)
     assert out2[4] == 0      # no support
     assert out2[2] == 1.0    # p-value 1.0
+
+
+def test_read_errors_batch_matches_scalar():
+    """The batched padded-matrix error counter must agree with the
+    per-pair implementation on ragged, end-gapped alignments."""
+    import random
+
+    from isocon_tpu.alnutils import (read_errors_batch,
+                                     read_errors_from_alignment)
+
+    rng = random.Random(3)
+    pairs = []
+    for _ in range(60):
+        L = rng.randrange(1, 120)
+        a = []
+        b = []
+        for _k in range(L):
+            r = rng.random()
+            if r < 0.12:
+                a.append("-")
+                b.append(rng.choice("ACGT"))
+            elif r < 0.24:
+                a.append(rng.choice("ACGT"))
+                b.append("-")
+            elif r < 0.4:
+                a.append(rng.choice("ACGT"))
+                b.append(rng.choice("ACGT"))
+            else:
+                c = rng.choice("ACGT")
+                a.append(c)
+                b.append(c)
+        # end gap runs on either side
+        lg, rg = rng.randrange(0, 5), rng.randrange(0, 5)
+        a = ["-"] * lg + a + [rng.choice("ACGT")] * rg
+        b = [rng.choice("ACGT")] * lg + b + ["-"] * rg
+        pairs.append(("".join(a), "".join(b)))
+    pairs.append(("----", "ACGT"))
+    pairs.append(("ACGT", "----"))
+    want = [read_errors_from_alignment(a, b) for a, b in pairs]
+    got = read_errors_batch(pairs)
+    assert got == want
