@@ -279,6 +279,56 @@ class _SeqPool:
         return self._dev[2], self._dev[3]
 
 
+class _HostPool:
+    """Host-side interned sequence pool (the CPU-native analog of
+    ``_SeqPool``): unique strings encode once into a growing
+    [cap, width] uint8 matrix, and batch assembly becomes one numpy row
+    gather instead of a per-pair Python copy loop (148 s of a 10k-scale
+    profile)."""
+
+    def __init__(self):
+        self.rows: dict = {}
+        self.mat = np.empty((1024, 256), dtype=np.uint8)
+        self.lens = np.zeros(1024, dtype=np.int64)
+        self.n = 0
+
+    def intern(self, s: str, enc) -> int:
+        r = self.rows.get(s)
+        if r is not None:
+            return r
+        e = enc(s).view(np.uint8)
+        cap, width = self.mat.shape
+        if len(e) > width:
+            w = max(256, 1 << int(len(e) - 1).bit_length())
+            mat = np.empty((cap, w), dtype=np.uint8)
+            mat[:, :width] = self.mat
+            self.mat = mat
+            width = w
+        if self.n == cap:
+            mat = np.empty((2 * cap, width), dtype=np.uint8)
+            mat[:cap] = self.mat
+            self.mat = mat
+            lens = np.zeros(2 * cap, dtype=np.int64)
+            lens[:cap] = self.lens
+            self.lens = lens
+        self.mat[self.n, : len(e)] = e
+        self.lens[self.n] = len(e)
+        self.rows[s] = self.n
+        self.n += 1
+        return self.rows[s]
+
+    def gather(self, pairs, idxs, enc):
+        """(q, qlen, t, tlen) uint8 batch views for pairs[idxs]."""
+        B = len(idxs)
+        ia = np.empty(B, dtype=np.int64)
+        ib = np.empty(B, dtype=np.int64)
+        for pos, i in enumerate(idxs):
+            a, b = pairs[i]
+            ia[pos] = self.intern(a, enc)
+            ib[pos] = self.intern(b, enc)
+        return (self.mat[ia], self.lens[ia], self.mat[ib], self.lens[ib])
+
+
 class PairEngine:
     """Batched exact edit distances over explicit pair lists."""
 
@@ -339,6 +389,7 @@ class PairEngine:
         self.pallas_L0 = 2048
         self._enc_cache: dict = {}
         self._pools: dict = {}  # L bucket -> _SeqPool (device-resident)
+        self._host_pool = _HostPool()  # CPU-native batch assembly
         # cumulative per-op wall-clock + volume counters (the rebuild's
         # analog of the reference's per-phase logfile timers, SURVEY.md §5)
         self.counters = {
@@ -547,23 +598,12 @@ class PairEngine:
             return
         from ..native import myers_ed_batch_k
 
-        Lmax = max(max(len(pairs[i][0]), len(pairs[i][1])) for i in idxs)
-        B = len(idxs)
-        # np.empty, not np.full: the native kernels read only the length
-        # prefix of each row, and zero-filling multi-GB padded batches was
-        # 313 s of a 10k-scale profile
-        q = np.empty((B, Lmax), dtype=np.uint8)
-        t = np.empty((B, Lmax), dtype=np.uint8)
-        qlen = np.zeros(B, dtype=np.int64)
-        tlen = np.zeros(B, dtype=np.int64)
-        ks = np.empty(B, dtype=np.int64)
-        for pos, i in enumerate(idxs):
-            a, b = pairs[i]
-            ea, eb = self._enc(a), self._enc(b)
-            q[pos, : len(ea)] = ea.view(np.uint8)
-            t[pos, : len(eb)] = eb.view(np.uint8)
-            qlen[pos], tlen[pos] = len(ea), len(eb)
-            ks[pos] = caps[i]
+        # interned host pool + one row gather per batch (np.full zeroing
+        # was 313 s and the per-pair copy loop 148 s of 10k-scale
+        # profiles; the native kernels read only each row's length prefix)
+        q, qlen, t, tlen = self._host_pool.gather(pairs, idxs, self._enc)
+        ks = np.fromiter((caps[i] for i in idxs), dtype=np.int64,
+                         count=len(idxs))
         ed = myers_ed_batch_k(q, qlen, t, tlen, ks)
         for pos, i in enumerate(idxs):
             ed_out[i] = ed[pos]
@@ -904,24 +944,17 @@ class PairEngine:
         (native/affine_sg.cc, tie rules pinned to the oracle)."""
         from ..native import affine_sg_batch
 
-        Lmax = max(max(len(pairs[i][0]), len(pairs[i][1])) for i in idxs)
         B = len(idxs)
-        # np.empty: the native DP reads only the length prefix per row
-        q = np.empty((B, Lmax), dtype=np.uint8)
-        t = np.empty((B, Lmax), dtype=np.uint8)
-        qlen = np.zeros(B, dtype=np.int64)
-        tlen = np.zeros(B, dtype=np.int64)
+        # interned host pool + one row gather (the native DP reads only
+        # each row's length prefix)
+        q, qlen, t, tlen = self._host_pool.gather(pairs, idxs, self._enc)
         sc = np.zeros((B, 4), dtype=np.int64)
         for pos, i in enumerate(idxs):
-            a, b = pairs[i]
-            ea, eb = self._enc(a), self._enc(b)
-            q[pos, : len(ea)] = ea.view(np.uint8)
-            t[pos, : len(eb)] = eb.view(np.uint8)
-            qlen[pos], tlen[pos] = len(ea), len(eb)
             ma, mi, go, ge = scores[i]
             sc[pos] = (ma, -abs(mi), go, ge)
         outs = affine_sg_batch(q, qlen, t, tlen, sc)
-        self._collect_align(pairs, idxs, Lmax, 0, ("raw", outs), out, [], {})
+        self._collect_align(pairs, idxs, q.shape[1], 0, ("raw", outs), out,
+                            [], {})
 
     def _launch_align(self, pairs, scores, chunk, Lb, Wp, Bp=None):
         B = len(chunk)
