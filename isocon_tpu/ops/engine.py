@@ -445,20 +445,30 @@ class PairEngine:
             else np.full(n_pairs, 2**31 - 1, dtype=np.int64)
         )
 
-        todo = list(range(n_pairs))
-        # trivial / host-sized pairs
-        rest = []
-        for i in todo:
-            a, b = pairs[i]
-            if not hw_mode and abs(len(a) - len(b)) > caps[i]:
-                ed_out[i] = -1  # ed >= |len difference| > cap
-            elif len(a) == 0 or len(b) == 0:
-                d = max(len(a), len(b))
-                ed_out[i] = d if d <= caps[i] else -1
-                ej_out[i] = 0 if hw_mode else len(b)
-                if hw_mode and len(a) == 0:
-                    ed_out[i] = 0
-            elif max(len(a), len(b)) <= self.host_threshold:
+        # trivial / host-sized pairs, masks computed in bulk (the per-pair
+        # branch loop ran 44M Python iterations in a 10k-read run)
+        la = np.fromiter((len(p[0]) for p in pairs), dtype=np.int64,
+                         count=n_pairs)
+        lb = np.fromiter((len(p[1]) for p in pairs), dtype=np.int64,
+                         count=n_pairs)
+        if hw_mode:
+            diff_skip = np.zeros(n_pairs, dtype=bool)
+        else:
+            diff_skip = np.abs(la - lb) > caps
+            ed_out[diff_skip] = -1  # ed >= |len difference| > cap
+        empty = ((la == 0) | (lb == 0)) & ~diff_skip
+        for i in np.flatnonzero(empty):
+            d = int(max(la[i], lb[i]))
+            ed_out[i] = d if d <= caps[i] else -1
+            ej_out[i] = 0 if hw_mode else int(lb[i])
+            if hw_mode and la[i] == 0:
+                ed_out[i] = 0
+        hostm = np.zeros(n_pairs, dtype=bool)
+        if self.host_threshold > 0:
+            hostm = (np.maximum(la, lb) <= self.host_threshold
+                     ) & ~diff_skip & ~empty
+            for i in np.flatnonzero(hostm):
+                a, b = pairs[i]
                 if hw_mode:
                     d, s0, e0, _ = oracle.edit_distance_hw(a, b)
                     ed_out[i] = d if d <= caps[i] else -1
@@ -467,8 +477,7 @@ class PairEngine:
                     d = oracle.edit_distance(a, b)
                     ed_out[i] = d if d <= caps[i] else -1
                     ej_out[i] = len(b)
-            else:
-                rest.append(i)
+        rest = [int(i) for i in np.flatnonzero(~(diff_skip | empty | hostm))]
 
         if self.native_cpu and rest:
             self._ed_native(pairs, rest, caps, hw_mode, ed_out, ej_out)
@@ -549,29 +558,33 @@ class PairEngine:
                           % (handle[0][0], len(chunk),
                              int(len(cert) - cert.sum()),
                              time.perf_counter() - tc0), flush=True)
-                for pos, i in enumerate(chunk):
-                    if cert[pos]:
-                        d = int(ed[pos])
-                        ed_out[i] = d if d <= caps[i] else -1
-                        ej_out[i] = int(ej[pos])
+                # bulk certified-result scatter (this loop ran 44M Python
+                # iterations in a 10k-read run); the (rare) uncertified
+                # pairs keep the per-pair floor logic
+                chunk_arr = np.asarray(chunk, dtype=np.int64)
+                certm = np.asarray(cert, dtype=bool)
+                ci = chunk_arr[certm]
+                d = ed[certm].astype(np.int64)
+                ed_out[ci] = np.where(d <= caps[ci], d, -1).astype(np.int32)
+                ej_out[ci] = ej[certm]
+                for i in chunk_arr[~certm]:
+                    # Uncertified => true ed exceeds the certified floor
+                    # of this band; give up early when that already
+                    # clears the caller's cutoff.
+                    a, b = pairs[i]
+                    if handle[0][0] == "myers":
+                        floor = self._myers_floor(len(a), len(b),
+                                                  handle[0][1])
+                    elif handle[0][0] == "myers_hw":
+                        floor = self._myers_floor_hw(len(a), len(b),
+                                                     handle[0][1])
                     else:
-                        # Uncertified => true ed exceeds the certified floor
-                        # of this band; give up early when that already
-                        # clears the caller's cutoff.
-                        a, b = pairs[i]
-                        if handle[0][0] == "myers":
-                            floor = self._myers_floor(len(a), len(b),
-                                                      handle[0][1])
-                        elif handle[0][0] == "myers_hw":
-                            floor = self._myers_floor_hw(len(a), len(b),
-                                                         handle[0][1])
-                        else:
-                            floor = self._certified_floor(len(a), len(b), Wp,
-                                                          hw_mode)
-                        if floor >= caps[i]:
-                            ed_out[i] = -1
-                        else:
-                            next_round.append(i)
+                        floor = self._certified_floor(len(a), len(b), Wp,
+                                                      hw_mode)
+                    if floor >= caps[i]:
+                        ed_out[i] = -1
+                    else:
+                        next_round.append(int(i))
             rest = next_round
             Wp *= 2
             if Wp > 4 * max(
@@ -605,9 +618,9 @@ class PairEngine:
         ks = np.fromiter((caps[i] for i in idxs), dtype=np.int64,
                          count=len(idxs))
         ed = myers_ed_batch_k(q, qlen, t, tlen, ks)
-        for pos, i in enumerate(idxs):
-            ed_out[i] = ed[pos]
-            ej_out[i] = tlen[pos]
+        idx_arr = np.asarray(idxs, dtype=np.int64)
+        ed_out[idx_arr] = ed.astype(np.int32)
+        ej_out[idx_arr] = tlen.astype(np.int32)
 
     @staticmethod
     def _myers_floor(n: int, m: int, win: int) -> int:
