@@ -380,6 +380,9 @@ class PairEngine:
             # the Myers kernel amortizes its fixed dispatch cost over many
             # sequential grid blocks; big distance batches are nearly free
             ed_batch = 65536 if use_pallas else batch_pairs
+            env_eb = os.environ.get("ISOCON_ED_BATCH")
+            if env_eb and use_pallas:
+                ed_batch = int(env_eb)
         self.ed_batch = ed_batch
         self.myers_sub = 16 if ed_batch >= 2048 else (
             ed_batch // 128 if ed_batch % 128 == 0 else 0
@@ -511,36 +514,62 @@ class PairEngine:
             myers_ok = (self.use_pallas and self.myers_sub >= 8
                         and Wp in _MYERS_WIN)
             pool_ok = myers_ok or self.use_pallas
-            buckets: dict = {}
-            for i in rest:
-                a, b = pairs[i]
-                ln = max(len(a), len(b))
-                if pool_ok:
-                    Lb = self.pallas_L0
-                    while Lb < ln:
-                        Lb *= 2
-                else:
-                    Lb = _len_bucket(ln)
-                buckets.setdefault(Lb, []).append(i)
-            # dispatch every batch asynchronously, then collect: device work
-            # and host<->device round trips pipeline instead of serializing
+            # bucket by padded length, vectorized (the per-pair bucketing +
+            # double intern loops were ~88M Python iterations per 10k run);
+            # pooled paths collapse to power-of-2 buckets >= pallas_L0
+            rest_arr = np.asarray(rest, dtype=np.int64)
+            ln = np.maximum(la[rest_arr], lb[rest_arr])
+            if pool_ok:
+                Lb_arr = np.full(len(rest_arr), self.pallas_L0,
+                                 dtype=np.int64)
+            else:
+                bks = np.asarray(_LEN_BUCKETS, dtype=np.int64)
+                pos = np.searchsorted(bks, ln)
+                inb = pos < len(bks)
+                Lb_arr = np.empty(len(rest_arr), dtype=np.int64)
+                Lb_arr[inb] = bks[pos[inb]]
+                Lb_arr[~inb] = _LEN_BUCKETS[-1]
+            over = ln > Lb_arr
+            while over.any():
+                Lb_arr[over] *= 2
+                over = ln > Lb_arr
+            order = np.argsort(Lb_arr, kind="stable")
+            uniq, starts = np.unique(Lb_arr[order], return_index=True)
+            bounds = list(starts) + [len(order)]
             launched = []
-            for Lb, idxs in sorted(buckets.items()):
+            for Lb, b0, b1 in zip(uniq, bounds[:-1], bounds[1:]):
+                Lb = int(Lb)
+                idxs_arr = rest_arr[order[b0:b1]]
+                rows = None
                 if pool_ok:
-                    # intern the whole bucket up front so every chunk shares
-                    # one pool version (one device push per round, not one
-                    # per chunk)
+                    # intern the whole bucket up front into row-index
+                    # arrays: every chunk shares one pool version (one
+                    # device push per round), and _launch_batch gets numpy
+                    # slices instead of re-interning pair by pair
                     pool = self._pools.get(Lb)
                     if pool is None:
                         pool = self._pools[Lb] = _SeqPool(Lb)
-                    for i in idxs:
-                        a, b = pairs[i]
-                        pool.intern(a, self._enc)
-                        pool.intern(b, self._enc)
-                for s in range(0, len(idxs), self.ed_batch):
-                    chunk = idxs[s : s + self.ed_batch]
+                    enc = self._enc
+                    intern = pool.intern
+                    n_b = len(idxs_arr)
+                    ia_all = np.fromiter(
+                        (intern(pairs[i][0], enc) for i in idxs_arr),
+                        dtype=np.int32, count=n_b)
+                    ib_all = np.fromiter(
+                        (intern(pairs[i][1], enc) for i in idxs_arr),
+                        dtype=np.int32, count=n_b)
+                    ql_all = la[idxs_arr].astype(np.int32)
+                    tl_all = lb[idxs_arr].astype(np.int32)
+                for s in range(0, len(idxs_arr), self.ed_batch):
+                    chunk = idxs_arr[s : s + self.ed_batch]
+                    if pool_ok:
+                        rows = (ia_all[s : s + self.ed_batch],
+                                ib_all[s : s + self.ed_batch],
+                                ql_all[s : s + self.ed_batch],
+                                tl_all[s : s + self.ed_batch])
                     tl0 = time.perf_counter() if _DEBUG else 0.0
-                    h = self._launch_batch(pairs, chunk, Lb, Wp, hw_mode)
+                    h = self._launch_batch(pairs, chunk, Lb, Wp, hw_mode,
+                                           rows=rows)
                     if _DEBUG:
                         if os.environ.get("ISOCON_ENGINE_SYNC"):
                             np.asarray(h[2])  # force completion for timing
@@ -674,7 +703,10 @@ class PairEngine:
         (sub_L <= myers_sub) rejects the Myers path entirely."""
         return max(8, min(myers_sub, max(32768 // Lb, 1)))
 
-    def _launch_batch(self, pairs, chunk, Lb, Wp, hw_mode):
+    def _launch_batch(self, pairs, chunk, Lb, Wp, hw_mode, rows=None):
+        """rows: optional pre-interned (ia, ib, qlen, tlen) numpy slices
+        for `chunk` (built once per bucket round in edit_distances); the
+        pooled paths then do no per-pair Python at all."""
         B = len(chunk)
         sub_L = self.myers_sub_for(Lb, self.myers_sub)
         win = _MYERS_WIN.get(Wp)
@@ -694,16 +726,19 @@ class PairEngine:
             pool = self._pools.get(Lb)
             if pool is None:
                 pool = self._pools[Lb] = _SeqPool(Lb)
-            ia = np.zeros(B, dtype=np.int32)
-            ib = np.zeros(B, dtype=np.int32)
-            qlen = np.zeros(B, dtype=np.int32)
-            tlen = np.zeros(B, dtype=np.int32)
-            for pos, i in enumerate(chunk):
-                a, b = pairs[i]
-                ra = pool.intern(a, self._enc)
-                rb = pool.intern(b, self._enc)
-                ia[pos], ib[pos] = ra, rb
-                qlen[pos], tlen[pos] = len(a), len(b)
+            if rows is not None:
+                ia, ib, qlen, tlen = rows
+            else:
+                ia = np.zeros(B, dtype=np.int32)
+                ib = np.zeros(B, dtype=np.int32)
+                qlen = np.zeros(B, dtype=np.int32)
+                tlen = np.zeros(B, dtype=np.int32)
+                for pos, i in enumerate(chunk):
+                    a, b = pairs[i]
+                    ra = pool.intern(a, self._enc)
+                    rb = pool.intern(b, self._enc)
+                    ia[pos], ib[pos] = ra, rb
+                    qlen[pos], tlen[pos] = len(a), len(b)
             blk = sub_L * 128
             # batch padding restricted to {1, 8, max} blocks: each distinct
             # (R, Bp, L) is a separate compile, and padded kernel work is
@@ -774,15 +809,23 @@ class PairEngine:
             pool = self._pools.get(Lb)
             if pool is None:
                 pool = self._pools[Lb] = _SeqPool(Lb)
-            ia = np.zeros(Bp, dtype=np.int32)
-            ib = np.zeros(Bp, dtype=np.int32)
-            qlen = np.ones(Bp, dtype=np.int32)
-            tlen = np.ones(Bp, dtype=np.int32)
-            for pos, i in enumerate(chunk):
-                a, b = pairs[i]
-                ia[pos] = pool.intern(a, self._enc)
-                ib[pos] = pool.intern(b, self._enc)
-                qlen[pos], tlen[pos] = len(a), len(b)
+            if rows is not None:
+                ia = np.zeros(Bp, dtype=np.int32)
+                ib = np.zeros(Bp, dtype=np.int32)
+                qlen = np.ones(Bp, dtype=np.int32)
+                tlen = np.ones(Bp, dtype=np.int32)
+                ia[:B], ib[:B] = rows[0], rows[1]
+                qlen[:B], tlen[:B] = rows[2], rows[3]
+            else:
+                ia = np.zeros(Bp, dtype=np.int32)
+                ib = np.zeros(Bp, dtype=np.int32)
+                qlen = np.ones(Bp, dtype=np.int32)
+                tlen = np.ones(Bp, dtype=np.int32)
+                for pos, i in enumerate(chunk):
+                    a, b = pairs[i]
+                    ia[pos] = pool.intern(a, self._enc)
+                    ib[pos] = pool.intern(b, self._enc)
+                    qlen[pos], tlen[pos] = len(a), len(b)
             # on the CPU backend the Pallas kernel would run in interpret
             # mode (orders of magnitude slow) -- use the lax.scan kernel
             # unless interpret was explicitly requested (kernel tests)
