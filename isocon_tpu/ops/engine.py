@@ -378,8 +378,10 @@ class PairEngine:
             self.batch_pairs = batch_pairs = max(batch_pairs, floor)
         if ed_batch is None:
             # the Myers kernel amortizes its fixed dispatch cost over many
-            # sequential grid blocks; big distance batches are nearly free
-            ed_batch = 65536 if use_pallas else batch_pairs
+            # sequential grid blocks; big distance batches are nearly free,
+            # while per-chunk dispatch over the tunnel is not: 262144-pair
+            # chunks measured ED 141 -> 109-124 s on the 10k run vs 65536
+            ed_batch = 262144 if use_pallas else batch_pairs
             env_eb = os.environ.get("ISOCON_ED_BATCH")
             if env_eb and use_pallas:
                 ed_batch = int(env_eb)
@@ -740,14 +742,17 @@ class PairEngine:
                     ia[pos], ib[pos] = ra, rb
                     qlen[pos], tlen[pos] = len(a), len(b)
             blk = sub_L * 128
-            # batch padding restricted to {1, 8, max} blocks: each distinct
-            # (R, Bp, L) is a separate compile, and padded kernel work is
-            # nearly free next to a multi-second compile
+            # batch padding restricted to powers of 4 (1, 4, 16, 64, 256
+            # blocks): each distinct (R, Bp, L) is a separate compile, and
+            # padded kernel work is nearly free next to a multi-second
+            # compile -- but the O(Bp) result download is not, so mid-size
+            # rounds must not pad straight to the 256k target
             nblk = -(-B // blk)
             max_blk = max(1, self.ed_batch // blk)
-            if nblk > 1:
-                nblk = 8 if nblk <= 8 else max_blk
-            nblk = min(nblk, max_blk)
+            p = 1
+            while p < nblk:
+                p *= 4
+            nblk = min(p, max_blk)
             if self.sharder is not None:
                 # every device must receive whole kernel blocks
                 nblk = -(-nblk // self.sharder.n) * self.sharder.n
