@@ -400,14 +400,18 @@ class PairEngine:
         self.counters = {
             "ed_calls": 0, "ed_pairs": 0, "ed_seconds": 0.0,
             "align_calls": 0, "align_pairs": 0, "align_seconds": 0.0,
+            # worst single result-collect wait: a near-total share of
+            # ed_seconds here means a link stall, not a compute regression
+            "ed_max_collect_seconds": 0.0,
         }
 
     def stats_line(self) -> str:
         c = self.counters
         return (
-            "engine: %d EDs in %.1fs (%d calls), %d alignments in %.1fs "
-            "(%d calls)" % (
+            "engine: %d EDs in %.1fs (%d calls, max collect %.1fs), "
+            "%d alignments in %.1fs (%d calls)" % (
                 c["ed_pairs"], c["ed_seconds"], c["ed_calls"],
+                c["ed_max_collect_seconds"],
                 c["align_pairs"], c["align_seconds"], c["align_calls"],
             )
         )
@@ -582,13 +586,15 @@ class PairEngine:
                               flush=True)
                     launched.append((chunk, h))
             for chunk, handle in launched:
-                tc0 = time.perf_counter() if _DEBUG else 0.0
+                tc0 = time.perf_counter()
                 ed, ej, cert = self._collect_batch(handle, Wp, hw_mode)
+                tc = time.perf_counter() - tc0
+                if tc > self.counters["ed_max_collect_seconds"]:
+                    self.counters["ed_max_collect_seconds"] = tc
                 if _DEBUG:
                     print("engine.ed collect kind=%s B=%d ncert=%d %.3fs"
                           % (handle[0][0], len(chunk),
-                             int(len(cert) - cert.sum()),
-                             time.perf_counter() - tc0), flush=True)
+                             int(len(cert) - cert.sum()), tc), flush=True)
                 # bulk certified-result scatter (this loop ran 44M Python
                 # iterations in a 10k-read run); the (rare) uncertified
                 # pairs keep the per-pair floor logic

@@ -38,8 +38,8 @@ sys.path.insert(0, REPO)
 READS = "/root/reference/test/data/simulated_pacbio_reads_n_200.fa"
 
 _ENGINE_RE = re.compile(
-    r"engine: (\d+) EDs in ([\d.]+)s \((\d+) calls\), "
-    r"(\d+) alignments in ([\d.]+)s \((\d+) calls\)"
+    r"engine: (\d+) EDs in ([\d.]+)s \((\d+) calls(?:, max collect "
+    r"([\d.]+)s)?\), (\d+) alignments in ([\d.]+)s \((\d+) calls\)"
 )
 
 
@@ -62,9 +62,11 @@ def parse_logfile(path: str) -> dict:
         rec["ed_pairs"] = int(m.group(1))
         rec["ed_seconds"] = float(m.group(2))
         rec["ed_calls"] = int(m.group(3))
-        rec["align_pairs"] = int(m.group(4))
-        rec["align_seconds"] = float(m.group(5))
-        rec["align_calls"] = int(m.group(6))
+        if m.group(4) is not None:
+            rec["ed_max_collect_seconds"] = float(m.group(4))
+        rec["align_pairs"] = int(m.group(5))
+        rec["align_seconds"] = float(m.group(6))
+        rec["align_calls"] = int(m.group(7))
     return rec
 
 
