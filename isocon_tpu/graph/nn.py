@@ -157,7 +157,8 @@ def nearest_neighbors(
                 kcap = np.minimum(np.maximum(capfull[na], capfull[nb]), k)
                 pairs = [(seqs[order[x]], seqs[order[y]])
                          for x, y in zip(na, nb)]
-                eds, _ = engine.edit_distances(pairs, k_cap=kcap)
+                eds, _ = engine.edit_distances(
+                    pairs, k_cap=kcap, lens=(lens[na], lens[nb]))
                 eds = np.asarray(eds)
                 good = eds >= 0
                 cache.insert(newkeys[good], eds[good])
@@ -259,7 +260,9 @@ def nearest_neighbors_2set(
                     for x, y in zip(nq, ntt)
                 ]
                 kcap = np.minimum(q_lens[nq], k)
-                eds, _ = engine.edit_distances(pairs, k_cap=kcap)
+                eds, _ = engine.edit_distances(
+                    pairs, k_cap=kcap,
+                    lens=(q_lens[nq], t_lens_sorted[ntt]))
                 eds = np.asarray(eds)
                 good = eds >= 0
                 cache.insert(newkeys[good], eds[good])

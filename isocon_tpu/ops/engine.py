@@ -432,14 +432,18 @@ class PairEngine:
         pairs: Sequence[Tuple[str, str]],
         k_cap: Optional[Sequence[int]] = None,
         hw_mode: bool = False,
+        lens: Optional[Tuple[np.ndarray, np.ndarray]] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Exact (certified) edit distances for a list of string pairs.
 
         k_cap[i], when given, allows giving up on pair i once it is certain
         that ed > k_cap[i] (result then reported as -1, mirroring edlib's
-        ``k`` cutoff contract).  Returns (ed[int32], end_j[int32]); end_j is
-        only meaningful in hw_mode (exclusive end of the target span).
-        """
+        ``k`` cutoff contract).  lens, when given, is the (len(a), len(b))
+        arrays for the pairs (callers that build pair lists from indexed
+        read tensors already have them; re-deriving with 2x44M len() calls
+        was measurable at 10k scale).  Returns (ed[int32], end_j[int32]);
+        end_j is only meaningful in hw_mode (exclusive end of the target
+        span)."""
         n_pairs = len(pairs)
         ed_out = np.full(n_pairs, -1, dtype=np.int32)
         ej_out = np.zeros(n_pairs, dtype=np.int32)
@@ -456,10 +460,14 @@ class PairEngine:
 
         # trivial / host-sized pairs, masks computed in bulk (the per-pair
         # branch loop ran 44M Python iterations in a 10k-read run)
-        la = np.fromiter((len(p[0]) for p in pairs), dtype=np.int64,
-                         count=n_pairs)
-        lb = np.fromiter((len(p[1]) for p in pairs), dtype=np.int64,
-                         count=n_pairs)
+        if lens is not None:
+            la = np.asarray(lens[0], dtype=np.int64)
+            lb = np.asarray(lens[1], dtype=np.int64)
+        else:
+            la = np.fromiter((len(p[0]) for p in pairs), dtype=np.int64,
+                             count=n_pairs)
+            lb = np.fromiter((len(p[1]) for p in pairs), dtype=np.int64,
+                             count=n_pairs)
         if hw_mode:
             diff_skip = np.zeros(n_pairs, dtype=bool)
         else:
@@ -487,6 +495,11 @@ class PairEngine:
                     ed_out[i] = d if d <= caps[i] else -1
                     ej_out[i] = len(b)
         rest = [int(i) for i in np.flatnonzero(~(diff_skip | empty | hostm))]
+        # escalation-termination guard, hoisted: _len_bucket is monotone,
+        # so the per-pair max equals the bucket of the global max length
+        # (the old per-round 44M-pair genexpr was ~80 s of a 10k profile)
+        _guard = 4 * _len_bucket(int(np.maximum(la, lb).max())
+                                 if n_pairs else 1) + 256
 
         if self.native_cpu and rest:
             self._ed_native(pairs, rest, caps, hw_mode, ed_out, ej_out)
@@ -624,9 +637,7 @@ class PairEngine:
                         next_round.append(int(i))
             rest = next_round
             Wp *= 2
-            if Wp > 4 * max(
-                _len_bucket(max(len(pairs[i][0]), len(pairs[i][1]))) for i in range(n_pairs)
-            ) + 256:
+            if Wp > _guard:
                 raise RuntimeError("band escalation failed to terminate")
         self.counters["ed_seconds"] += time.perf_counter() - t_start
         return ed_out, ej_out
