@@ -235,3 +235,44 @@ def test_engine_hw_myers_path_matches_oracle():
         want, _s0, e0, _ops = oracle.edit_distance_hw(q, t)
         assert d == want, (len(q), len(t), d, want)
         assert ej == e0 + 1, (len(q), len(t), ej, e0 + 1)
+
+
+def test_myers_hw_sub16_packing():
+    """The engine runs HW mode at sub=16 for Lb<=2048; the wider sublane
+    packing must agree with the oracle too (one 2048-pair block)."""
+    from isocon_tpu.ops.myers_pallas import (
+        myers_certifies_hw, myers_hw_pallas)
+
+    rng = random.Random(29)
+
+    def rs(n):
+        return "".join(rng.choice("ACGT") for _ in range(n))
+
+    B, L = 2048, 256
+    pairs = []
+    for i in range(B):
+        t = rs(rng.randrange(100, 250))
+        if i % 3 == 0:
+            a, b = sorted(rng.sample(range(len(t)), 2))
+            q = t[a:b + 1] or t[:6]
+        elif i % 3 == 1:
+            ql = list(t)
+            for p in rng.sample(range(len(t)), len(t) // 12):
+                ql[p] = rng.choice("ACGT")
+            q = "".join(ql)
+        else:
+            q = (t + rs(20))[:L - 4]  # n > m
+        pairs.append((q, t))
+    q, qlen = pad_batch([a for a, _ in pairs], L)
+    t, tlen = pad_batch([b for _, b in pairs], L)
+    ed, ej = myers_hw_pallas(q, t, qlen, tlen, L=L, interpret=True, sub=16)
+    ed, ej = np.asarray(ed), np.asarray(ej)
+    cert = myers_certifies_hw(ed, qlen, tlen)
+    checked = 0
+    for i in range(0, B, 13):
+        if not cert[i]:
+            continue
+        want, _s0, e0, _ops = oracle.edit_distance_hw(*pairs[i])
+        assert ed[i] == want and ej[i] == e0 + 1, (i, ed[i], ej[i], want, e0)
+        checked += 1
+    assert checked > 60
