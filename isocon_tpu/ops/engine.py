@@ -463,6 +463,7 @@ class PairEngine:
         if lens is not None:
             la = np.asarray(lens[0], dtype=np.int64)
             lb = np.asarray(lens[1], dtype=np.int64)
+            assert la.shape[0] == n_pairs and lb.shape[0] == n_pairs
         else:
             la = np.fromiter((len(p[0]) for p in pairs), dtype=np.int64,
                              count=n_pairs)
