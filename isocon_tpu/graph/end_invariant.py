@@ -174,9 +174,12 @@ def ends_ignored_nn_graph(
     # distance pass: batched HW kernel with cutoff; the (few) pairs under
     # the cutoff then get a host traceback for the end adjustments
     if engine is not None and wanted:
-        pairs = [(ordered[i][0], ordered[j][0]) for i, j in wanted]
-        eds, _ej = engine.edit_distances(
-            pairs, k_cap=[max_ed_allowed] * len(pairs), hw_mode=True
+        ids = engine.add_seqs([s for s, _ in ordered])
+        w = np.asarray(wanted, dtype=np.int64)
+        eds, _ej = engine.edit_distances_idx(
+            ids[w[:, 0]], ids[w[:, 1]],
+            k_cap=np.full(len(wanted), max_ed_allowed, dtype=np.int64),
+            hw_mode=True,
         )
         survivors = [ij for ij, d in zip(wanted, eds)
                      if 0 <= d <= max_ed_allowed]

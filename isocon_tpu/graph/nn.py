@@ -47,32 +47,68 @@ _SLAB_ENTRIES = 4_000_000  # window-entry budget per bookkeeping slab
 
 
 class _PairCache:
-    """Certified pair EDs as parallel sorted arrays keyed a*n+b (a < b).
+    """Certified pair EDs keyed a*n+b (a < b), stored as a log-structured
+    list of sorted (keys, vals) runs.
 
     At 10k+ reads the per-round windows hold tens of millions of entries;
     python dict bookkeeping dominated the whole phase-1 wall clock, so the
-    cache and all window logic are numpy (SURVEY.md §7 design stance)."""
+    cache and all window logic are numpy (SURVEY.md §7 design stance).
+    Runs instead of one array because the one-array insert re-sorted ALL
+    cached pairs on every slab insert -- O(total) per slab, superlinear
+    across a 50-100k-read search.  Each inserted slab is already sorted
+    (callers insert ``np.unique`` survivors), so insert is an append plus
+    geometric merging of adjacent runs (amortized O(log) merges per key);
+    lookup binary-searches each of the <= ~log2(N) live runs."""
 
     def __init__(self):
-        self.keys = np.empty(0, np.int64)
-        self.vals = np.empty(0, np.int32)
+        self.runs: List[Tuple[np.ndarray, np.ndarray]] = []
+
+    @property
+    def keys(self):  # single sorted view (tests / introspection only)
+        self._compact()
+        return self.runs[0][0] if self.runs else np.empty(0, np.int64)
+
+    @property
+    def vals(self):
+        self._compact()
+        return self.runs[0][1] if self.runs else np.empty(0, np.int32)
+
+    def _compact(self):
+        while len(self.runs) > 1:
+            self._merge_last_two()
+
+    def _merge_last_two(self):
+        k2, v2 = self.runs.pop()
+        k1, v1 = self.runs.pop()
+        mk = np.concatenate([k1, k2])
+        mv = np.concatenate([v1, v2])
+        o = np.argsort(mk, kind="stable")
+        self.runs.append((mk[o], mv[o]))
 
     def lookup(self, keys: np.ndarray):
         """-> (present mask, values where present)."""
-        if self.keys.size == 0:
-            return np.zeros(keys.shape, bool), np.zeros(keys.shape, np.int32)
-        pos = np.searchsorted(self.keys, keys)
-        posc = np.minimum(pos, self.keys.size - 1)
-        present = self.keys[posc] == keys
-        return present, self.vals[posc]
+        present = np.zeros(keys.shape, bool)
+        vals = np.zeros(keys.shape, np.int32)
+        for rk, rv in self.runs:
+            pos = np.searchsorted(rk, keys)
+            posc = np.minimum(pos, rk.size - 1)
+            hit = rk[posc] == keys
+            # keys are unique across runs (callers only insert misses),
+            # so no override order to worry about
+            present |= hit
+            vals[hit] = rv[posc][hit]
+        return present, vals
 
     def insert(self, keys: np.ndarray, vals: np.ndarray):
         if keys.size == 0:
             return
-        mk = np.concatenate([self.keys, keys])
-        mv = np.concatenate([self.vals, vals.astype(np.int32)])
-        o = np.argsort(mk, kind="stable")
-        self.keys, self.vals = mk[o], mv[o]
+        if keys.size > 1 and not (keys[1:] >= keys[:-1]).all():
+            o = np.argsort(keys, kind="stable")  # callers pass sorted keys;
+            keys, vals = keys[o], vals[o]        # guard anyway (O(B) check)
+        self.runs.append((keys, vals.astype(np.int32)))
+        while (len(self.runs) > 1
+               and self.runs[-1][0].size * 2 >= self.runs[-2][0].size):
+            self._merge_last_two()
 
 
 def _window_entries(unresolved, caps, lo, hi):
@@ -115,6 +151,10 @@ def nearest_neighbors(
     order = _sorted_order(seqs)
     lens = np.array([len(seqs[i]) for i in order], dtype=np.int64)
     conv = np.array([bool(converged[i]) for i in order])
+    # engine-table ids in sorted order: batches then ship index arrays,
+    # never per-pair string tuples (the string-pair lists were ~44M
+    # Python tuples per 10k-read run)
+    ids = engine.add_seqs([seqs[int(i)] for i in order])
 
     cache = _PairCache()
     unresolved = np.flatnonzero(~conv).astype(np.int64)
@@ -155,10 +195,8 @@ def nearest_neighbors(
                 na = newkeys // n
                 nb = newkeys % n
                 kcap = np.minimum(np.maximum(capfull[na], capfull[nb]), k)
-                pairs = [(seqs[order[x]], seqs[order[y]])
-                         for x, y in zip(na, nb)]
-                eds, _ = engine.edit_distances(
-                    pairs, k_cap=kcap, lens=(lens[na], lens[nb]))
+                eds, _ = engine.edit_distances_idx(
+                    ids[na], ids[nb], k_cap=kcap)
                 eds = np.asarray(eds)
                 good = eds >= 0
                 cache.insert(newkeys[good], eds[good])
@@ -222,6 +260,8 @@ def nearest_neighbors_2set(
         return out
 
     cache = _PairCache()
+    q_ids = engine.add_seqs([queries[a] for a in q_accs])
+    t_ids = engine.add_seqs([t_seqs[int(i)] for i in t_order])
     unresolved = np.arange(len(q_accs), dtype=np.int64)
     k = int(k0)
     k_stop = int(t_lens.max()) + int(q_lens.max())
@@ -255,14 +295,9 @@ def nearest_neighbors_2set(
             if newkeys.size:
                 nq = newkeys // nt
                 ntt = newkeys % nt
-                pairs = [
-                    (queries[q_accs[x]], t_seqs[int(t_order[y])])
-                    for x, y in zip(nq, ntt)
-                ]
                 kcap = np.minimum(q_lens[nq], k)
-                eds, _ = engine.edit_distances(
-                    pairs, k_cap=kcap,
-                    lens=(q_lens[nq], t_lens_sorted[ntt]))
+                eds, _ = engine.edit_distances_idx(
+                    q_ids[nq], t_ids[ntt], k_cap=kcap)
                 eds = np.asarray(eds)
                 good = eds >= 0
                 cache.insert(newkeys[good], eds[good])

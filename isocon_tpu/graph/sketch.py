@@ -94,15 +94,16 @@ def approximate_nn_graph(
     """
     n = len(unique_seqs)
     cands = approximate_matches(unique_seqs, topn)
-    pairs = []
+    ids = engine.add_seqs(unique_seqs)
     keys = []
     for i in range(n):
         if converged[i]:
             continue
         for j in cands[i]:
-            pairs.append((unique_seqs[i], unique_seqs[j]))
             keys.append((i, j))
-    eds, _ = engine.edit_distances(pairs)
+    karr = (np.asarray(keys, dtype=np.int64).reshape(-1, 2)
+            if keys else np.empty((0, 2), dtype=np.int64))
+    eds, _ = engine.edit_distances_idx(ids[karr[:, 0]], ids[karr[:, 1]])
 
     best: List[Dict[int, int]] = [dict() for _ in range(n)]
     per_query: Dict[int, Dict[int, int]] = {}

@@ -168,7 +168,7 @@ def myers_ed_batch_k(qs: np.ndarray, qlens: np.ndarray, ts: np.ndarray,
 
 
 def affine_sg_batch(s1s: np.ndarray, s1lens: np.ndarray, s2s: np.ndarray,
-                    s2lens: np.ndarray, scores: np.ndarray):
+                    s2lens: np.ndarray, scores: np.ndarray, nthreads=None):
     """Batched full-DP affine SG alignments with traceback.
 
     s1s/s2s: [B, L] uint8 padded; scores: [B, 4] int64 (ma, mi, go, ge with
@@ -176,6 +176,8 @@ def affine_sg_batch(s1s: np.ndarray, s1lens: np.ndarray, s2s: np.ndarray,
     tuple (best, ei, ej, ops, fi, fj, overflow) with backward opcodes in
     the same encoding as ``affine.walk_traceback`` (overflow always False:
     the DP is unbanded).  Returns None when the native lib is unavailable.
+    nthreads pins the worker count (bench.py's single-core baseline);
+    default is one thread per host core.
     """
     lib = get_lib()
     if lib is None or not hasattr(lib, "affine_sg_batch"):
@@ -191,7 +193,9 @@ def affine_sg_batch(s1s: np.ndarray, s1lens: np.ndarray, s2s: np.ndarray,
     meta = np.zeros((B, 6), dtype=np.int64)
     lib.affine_sg_batch(
         s1s.ctypes.data, l1.ctypes.data, s2s.ctypes.data, l2.ctypes.data,
-        L, B, sc.ctypes.data, _nthreads(), ops.ctypes.data, ops_stride,
+        L, B, sc.ctypes.data,
+        _nthreads() if nthreads is None else int(nthreads),
+        ops.ctypes.data, ops_stride,
         meta.ctypes.data,
     )
     return (
@@ -213,8 +217,11 @@ def hw_traceback_batch(pairs, band: int = 128, ed_hint=None, k_cap=None):
     and shrinks the DP ~5x vs the 128 default; a wrong (too-small) hint
     merely escalates internally, never changes the result.
 
-    ``k_cap[i]`` (> 0) makes escalation give up once ed > cap is proven
-    (entry becomes (-1, 0, 0, '') -- the engine's edlib-k contract)."""
+    ``k_cap[i]`` (>= 0) makes the result give up once ed > cap is proven
+    (entry becomes (-1, 0, 0, '') -- the engine's edlib-k contract); use
+    -1 (or omit k_cap) for "no cutoff".  The C++ early-escalation guard
+    only engages for cap > 0; a cap of 0 still honors the contract via
+    the post-filter below (the full DP runs, then ed > 0 maps to -1)."""
     lib = get_lib()
     B = len(pairs)
     if B == 0:
@@ -234,7 +241,7 @@ def hw_traceback_batch(pairs, band: int = 128, ed_hint=None, k_cap=None):
         for i, ((q, t), b) in enumerate(zip(pairs, bands)):
             r = (hw_banded_traceback(q, t, band=int(b))
                  or oracle.edit_distance_hw(q, t))
-            if caps is not None and caps[i] > 0 and r[0] > caps[i]:
+            if caps is not None and caps[i] >= 0 and r[0] > caps[i]:
                 r = (-1, 0, 0, "")
             out.append(r)
         return out
@@ -265,13 +272,16 @@ def hw_traceback_batch(pairs, band: int = 128, ed_hint=None, k_cap=None):
         if meta[i, 0] == -2:  # defensive: ops overflow -> oracle
             from ..ops import oracle
 
-            out.append(oracle.edit_distance_hw(q, t))
+            r = oracle.edit_distance_hw(q, t)
+            if caps is not None and caps[i] >= 0 and r[0] > caps[i]:
+                r = (-1, 0, 0, "")
+            out.append(r)
             continue
         if meta[i, 0] == -1:  # gave up past k_cap
             out.append((-1, 0, 0, ""))
             continue
         ed = int(meta[i, 0])
-        if caps is not None and caps[i] > 0 and ed > caps[i]:
+        if caps is not None and caps[i] >= 0 and ed > caps[i]:
             out.append((-1, 0, 0, ""))
             continue
         row = ops[i]

@@ -329,8 +329,40 @@ class _HostPool:
         return (self.mat[ia], self.lens[ia], self.mat[ib], self.lens[ib])
 
 
+class _PairView:
+    """Lazy (a, b) tuple view over engine-table index arrays.
+
+    Satisfies the ``Sequence[Tuple[str, str]]`` surface the string API
+    uses internally, but materializes a tuple only when a host-side path
+    actually subscripts it -- the index fast path (pool-row gathers)
+    never does, which is the point of the index API."""
+
+    __slots__ = ("seqs", "ia", "ib")
+
+    def __init__(self, seqs, ia, ib):
+        self.seqs = seqs
+        self.ia = ia
+        self.ib = ib
+
+    def __len__(self):
+        return self.ia.shape[0]
+
+    def __getitem__(self, i):
+        return self.seqs[self.ia[i]], self.seqs[self.ib[i]]
+
+
 class PairEngine:
-    """Batched exact edit distances over explicit pair lists."""
+    """Batched exact edit distances over explicit pair lists.
+
+    Two call surfaces:
+      * string pairs (``edit_distances`` / ``align_pairs``) -- original API;
+      * engine-table indices (``add_seqs`` + ``edit_distances_idx`` /
+        ``align_pairs_idx``) -- callers register unique sequences once and
+        pass int32 index arrays per batch.  At NN-search scale this
+        removes the per-call construction of tens of millions of Python
+        string tuples (the dominant host cost of the string API at 10k+
+        reads) and turns batch assembly into numpy gathers.
+    """
 
     def __init__(self, batch_pairs: int = 256, w0: int = 128,
                  host_threshold: int = 0, sharder=None, use_pallas=None,
@@ -395,6 +427,14 @@ class PairEngine:
         self._enc_cache: dict = {}
         self._pools: dict = {}  # L bucket -> _SeqPool (device-resident)
         self._host_pool = _HostPool()  # CPU-native batch assembly
+        # engine-owned sequence table (index API): strings registered via
+        # add_seqs, plus per-destination row maps (table id -> pool row)
+        # so steady-state batch assembly is one numpy gather
+        self._tab_seqs: List[str] = []
+        self._tab_ids: dict = {}
+        self._tab_lens = np.zeros(0, dtype=np.int64)
+        self._tab_pool_rows: dict = {}  # L bucket -> int32 rowmap (-1 unset)
+        self._tab_host_rows = np.empty(0, dtype=np.int64)
         # cumulative per-op wall-clock + volume counters (the rebuild's
         # analog of the reference's per-phase logfile timers, SURVEY.md §5)
         self.counters = {
@@ -427,12 +467,108 @@ class PairEngine:
         self._enc_cache.clear()
 
     # ------------------------------------------------------------------
+    # engine-owned sequence table (index API)
+    # ------------------------------------------------------------------
+    def add_seqs(self, seqs: Sequence[str]) -> np.ndarray:
+        """Register sequences in the engine's table; returns their int32
+        ids (duplicates -- within this call or vs earlier calls -- map to
+        the same id).  O(len(seqs)) dict work once per registration, not
+        once per pair."""
+        ids = np.empty(len(seqs), dtype=np.int32)
+        tab_ids = self._tab_ids
+        tab_seqs = self._tab_seqs
+        new_lens = []
+        for pos, s in enumerate(seqs):
+            i = tab_ids.get(s)
+            if i is None:
+                i = tab_ids[s] = len(tab_seqs)
+                tab_seqs.append(s)
+                new_lens.append(len(s))
+            ids[pos] = i
+        if new_lens:
+            self._tab_lens = np.concatenate(
+                [self._tab_lens, np.asarray(new_lens, dtype=np.int64)])
+        return ids
+
+    def table_lens(self, ids: np.ndarray) -> np.ndarray:
+        """Sequence lengths for engine-table ids (int64)."""
+        return self._tab_lens[np.asarray(ids, dtype=np.int64)]
+
+    def _grown_rowmap(self, rm, dtype):
+        n = len(self._tab_seqs)
+        if rm is None or rm.size < n:
+            new = np.full(max(1024, 2 * n), -1, dtype=dtype)
+            if rm is not None and rm.size:
+                new[: rm.size] = rm
+            return new
+        return rm
+
+    def _pool_rows_for(self, pool, Lb: int, ids: np.ndarray) -> np.ndarray:
+        """Table ids -> device-pool rows for bucket Lb; interns only the
+        ids not yet present (numpy gather for everything else)."""
+        rm = self._grown_rowmap(self._tab_pool_rows.get(Lb), np.int32)
+        self._tab_pool_rows[Lb] = rm
+        rows = rm[ids]
+        if (rows < 0).any():
+            miss = np.unique(ids[rows < 0])
+            seqs, enc, intern = self._tab_seqs, self._enc, pool.intern
+            for tid in miss.tolist():
+                rm[tid] = intern(seqs[tid], enc)
+            rows = rm[ids]
+        return rows.astype(np.int32, copy=False)
+
+    def _host_rows_for(self, ids: np.ndarray) -> np.ndarray:
+        """Table ids -> host-pool rows (CPU-native batch assembly)."""
+        rm = self._grown_rowmap(self._tab_host_rows, np.int64)
+        self._tab_host_rows = rm
+        rows = rm[ids]
+        if (rows < 0).any():
+            miss = np.unique(ids[rows < 0])
+            seqs, enc = self._tab_seqs, self._enc
+            intern = self._host_pool.intern
+            for tid in miss.tolist():
+                rm[tid] = intern(seqs[tid], enc)
+            rows = rm[ids]
+        return rows
+
+    def edit_distances_idx(
+        self,
+        ia: np.ndarray,
+        ib: np.ndarray,
+        k_cap: Optional[Sequence[int]] = None,
+        hw_mode: bool = False,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """``edit_distances`` over engine-table indices (see add_seqs):
+        pair i is (table[ia[i]], table[ib[i]]).  Same contract/results as
+        the string API; no per-pair Python on the batched paths."""
+        ia = np.ascontiguousarray(ia, dtype=np.int64)
+        ib = np.ascontiguousarray(ib, dtype=np.int64)
+        return self.edit_distances(
+            _PairView(self._tab_seqs, ia, ib), k_cap=k_cap, hw_mode=hw_mode,
+            lens=(self._tab_lens[ia], self._tab_lens[ib]), _idx=(ia, ib))
+
+    def align_pairs_idx(
+        self,
+        ia: np.ndarray,
+        ib: np.ndarray,
+        scores: Sequence[Tuple[int, int, int, int]],
+        ed_hint: Optional[Sequence[int]] = None,
+    ) -> List[Tuple[str, str, Tuple[int, int, int]]]:
+        """``align_pairs`` over engine-table indices."""
+        ia = np.ascontiguousarray(ia, dtype=np.int64)
+        ib = np.ascontiguousarray(ib, dtype=np.int64)
+        return self.align_pairs(
+            _PairView(self._tab_seqs, ia, ib), scores, ed_hint=ed_hint,
+            lens=(self._tab_lens[ia], self._tab_lens[ib]), _idx=(ia, ib))
+
+    # ------------------------------------------------------------------
     def edit_distances(
         self,
         pairs: Sequence[Tuple[str, str]],
         k_cap: Optional[Sequence[int]] = None,
         hw_mode: bool = False,
         lens: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+        _idx: Optional[Tuple[np.ndarray, np.ndarray]] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Exact (certified) edit distances for a list of string pairs.
 
@@ -443,7 +579,8 @@ class PairEngine:
         read tensors already have them; re-deriving with 2x44M len() calls
         was measurable at 10k scale).  Returns (ed[int32], end_j[int32]);
         end_j is only meaningful in hw_mode (exclusive end of the target
-        span)."""
+        span) and is undefined (path-dependent 0 or a partial value) for
+        entries where ed == -1 -- callers must mask on eds >= 0."""
         n_pairs = len(pairs)
         ed_out = np.full(n_pairs, -1, dtype=np.int32)
         ej_out = np.zeros(n_pairs, dtype=np.int32)
@@ -503,7 +640,8 @@ class PairEngine:
                                  if n_pairs else 1) + 256
 
         if self.native_cpu and rest:
-            self._ed_native(pairs, rest, caps, hw_mode, ed_out, ej_out)
+            self._ed_native(pairs, rest, caps, hw_mode, ed_out, ej_out,
+                            _idx=_idx)
             self.counters["ed_seconds"] += time.perf_counter() - t_start
             return ed_out, ej_out
 
@@ -525,7 +663,7 @@ class PairEngine:
                         print("engine.ed native-smallround hw=%s B=%d"
                               % (hw_mode, len(rest)), flush=True)
                     self._ed_native(pairs, rest, caps, hw_mode, ed_out,
-                                    ej_out)
+                                    ej_out, _idx=_idx)
                     break
             next_round: List[int] = []
             # bucket by padded length; pooled paths collapse to power-of-2
@@ -565,19 +703,27 @@ class PairEngine:
                     # intern the whole bucket up front into row-index
                     # arrays: every chunk shares one pool version (one
                     # device push per round), and _launch_batch gets numpy
-                    # slices instead of re-interning pair by pair
+                    # slices instead of re-interning pair by pair.  On the
+                    # index API this is a rowmap gather with no per-pair
+                    # Python at all.
                     pool = self._pools.get(Lb)
                     if pool is None:
                         pool = self._pools[Lb] = _SeqPool(Lb)
-                    enc = self._enc
-                    intern = pool.intern
-                    n_b = len(idxs_arr)
-                    ia_all = np.fromiter(
-                        (intern(pairs[i][0], enc) for i in idxs_arr),
-                        dtype=np.int32, count=n_b)
-                    ib_all = np.fromiter(
-                        (intern(pairs[i][1], enc) for i in idxs_arr),
-                        dtype=np.int32, count=n_b)
+                    if _idx is not None:
+                        ia_all = self._pool_rows_for(
+                            pool, Lb, _idx[0][idxs_arr])
+                        ib_all = self._pool_rows_for(
+                            pool, Lb, _idx[1][idxs_arr])
+                    else:
+                        enc = self._enc
+                        intern = pool.intern
+                        n_b = len(idxs_arr)
+                        ia_all = np.fromiter(
+                            (intern(pairs[i][0], enc) for i in idxs_arr),
+                            dtype=np.int32, count=n_b)
+                        ib_all = np.fromiter(
+                            (intern(pairs[i][1], enc) for i in idxs_arr),
+                            dtype=np.int32, count=n_b)
                     ql_all = la[idxs_arr].astype(np.int32)
                     tl_all = lb[idxs_arr].astype(np.int32)
                 for s in range(0, len(idxs_arr), self.ed_batch):
@@ -599,7 +745,10 @@ class PairEngine:
                                           time.perf_counter() - tl0),
                               flush=True)
                     launched.append((chunk, h))
-            for chunk, handle in launched:
+            # completion-order collect: certified-result scatter is
+            # order-independent (disjoint ed_out rows per chunk)
+            for chunk, handle in self._ready_iter(launched,
+                                                  lambda it: it[1][2]):
                 tc0 = time.perf_counter()
                 ed, ej, cert = self._collect_batch(handle, Wp, hw_mode)
                 tc = time.perf_counter() - tc0
@@ -621,16 +770,16 @@ class PairEngine:
                 for i in chunk_arr[~certm]:
                     # Uncertified => true ed exceeds the certified floor
                     # of this band; give up early when that already
-                    # clears the caller's cutoff.
-                    a, b = pairs[i]
+                    # clears the caller's cutoff.  Floors need only the
+                    # pair lengths (la/lb), never the strings.
+                    n_a, m_b = int(la[i]), int(lb[i])
                     if handle[0][0] == "myers":
-                        floor = self._myers_floor(len(a), len(b),
-                                                  handle[0][1])
+                        floor = self._myers_floor(n_a, m_b, handle[0][1])
                     elif handle[0][0] == "myers_hw":
-                        floor = self._myers_floor_hw(len(a), len(b),
+                        floor = self._myers_floor_hw(n_a, m_b,
                                                      handle[0][1])
                     else:
-                        floor = self._certified_floor(len(a), len(b), Wp,
+                        floor = self._certified_floor(n_a, m_b, Wp,
                                                       hw_mode)
                     if floor >= caps[i]:
                         ed_out[i] = -1
@@ -643,7 +792,53 @@ class PairEngine:
         self.counters["ed_seconds"] += time.perf_counter() - t_start
         return ed_out, ej_out
 
-    def _ed_native(self, pairs, idxs, caps, hw_mode, ed_out, ej_out):
+    @staticmethod
+    def _ready_iter(launched, probe, patience=5.0, poll=0.05):
+        """Yield launched entries in completion order.
+
+        ``probe(item)`` returns the device buffer whose non-blocking
+        ``is_ready()`` signals the batch finished; polling it means one
+        wedged transfer does not serialize the collects of batches that
+        already completed (the tunnel-weather stalls attributed by
+        ed_max_collect_seconds).  When nothing becomes ready within
+        ``patience`` seconds the oldest pending entry is yielded anyway --
+        worst case degrades to launch order, never deadlocks.  Buffers
+        without ``is_ready`` (numpy results from native/host paths) count
+        as always ready.  ISOCON_SERIAL_COLLECT=1 restores launch order."""
+        if len(launched) <= 1 or os.environ.get("ISOCON_SERIAL_COLLECT"):
+            yield from launched
+            return
+        pending = list(launched)
+        while pending:
+            if len(pending) == 1:
+                yield pending.pop()
+                return
+            picked = None
+            deadline = time.perf_counter() + patience
+            while picked is None:
+                for item in pending:
+                    buf = probe(item)
+                    isr = getattr(buf, "is_ready", None)
+                    if isr is None:
+                        picked = item
+                        break
+                    try:
+                        if isr():
+                            picked = item
+                            break
+                    except Exception:
+                        picked = item
+                        break
+                if picked is None:
+                    if time.perf_counter() >= deadline:
+                        picked = pending[0]
+                    else:
+                        time.sleep(poll)
+            pending.remove(picked)
+            yield picked
+
+    def _ed_native(self, pairs, idxs, caps, hw_mode, ed_out, ej_out,
+                   _idx=None):
         """CPU fast path: threaded C++ Myers (NW) / banded traceback (HW)."""
         if hw_mode:
             # one threaded batch call with the serial loop's escalation
@@ -663,11 +858,16 @@ class PairEngine:
         # interned host pool + one row gather per batch (np.full zeroing
         # was 313 s and the per-pair copy loop 148 s of 10k-scale
         # profiles; the native kernels read only each row's length prefix)
-        q, qlen, t, tlen = self._host_pool.gather(pairs, idxs, self._enc)
-        ks = np.fromiter((caps[i] for i in idxs), dtype=np.int64,
-                         count=len(idxs))
-        ed = myers_ed_batch_k(q, qlen, t, tlen, ks)
         idx_arr = np.asarray(idxs, dtype=np.int64)
+        if _idx is not None:
+            hp = self._host_pool
+            ra = self._host_rows_for(_idx[0][idx_arr])
+            rb = self._host_rows_for(_idx[1][idx_arr])
+            q, qlen, t, tlen = hp.mat[ra], hp.lens[ra], hp.mat[rb], hp.lens[rb]
+        else:
+            q, qlen, t, tlen = self._host_pool.gather(pairs, idxs, self._enc)
+        ks = caps[idx_arr]
+        ed = myers_ed_batch_k(q, qlen, t, tlen, ks)
         ed_out[idx_arr] = ed.astype(np.int32)
         ej_out[idx_arr] = tlen.astype(np.int32)
 
@@ -920,6 +1120,8 @@ class PairEngine:
         pairs: Sequence[Tuple[str, str]],
         scores: Sequence[Tuple[int, int, int, int]],
         ed_hint: Optional[Sequence[int]] = None,
+        lens: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+        _idx: Optional[Tuple[np.ndarray, np.ndarray]] = None,
     ) -> List[Tuple[str, str, Tuple[int, int, int]]]:
         """Batched semi-global alignments.
 
@@ -939,35 +1141,47 @@ class PairEngine:
         self.counters["align_calls"] += 1
         self.counters["align_pairs"] += n_pairs
         out: List[Optional[Tuple[str, str, Tuple[int, int, int]]]] = [None] * n_pairs
-        todo = []
-        bands = {}
-        for i, (a, b) in enumerate(pairs):
-            if max(len(a), len(b)) <= self.host_threshold or min(len(a), len(b)) == 0:
-                ma, mi, go, ge = scores[i]
-                out[i] = oracle.align_semi_global(a, b, ma, -abs(mi), go, ge)
-                continue
-            hint = ed_hint[i] if ed_hint is not None else None
-            delta = abs(len(a) - len(b))
-            if hint is not None and hint >= 0:
-                w = 2 * (delta + 2 * int(hint)) + 64
-            else:
-                w = 2 * delta + 256
-            # floor at 256 so one band shape covers the common case (keeps
-            # the compiled-shape set small; escalation still doubles)
-            bands[i] = max(256, int(2 ** math.ceil(math.log2(max(w, 64)))))
-            todo.append(i)
+        # vectorized band setup: lengths come from the caller (index API)
+        # or one pass over the pair list; the per-pair Python loop was
+        # O(n) tuple unpacking at phase-2 scale
+        if lens is not None:
+            la = np.asarray(lens[0], dtype=np.int64)
+            lb = np.asarray(lens[1], dtype=np.int64)
+        else:
+            la = np.fromiter((len(p[0]) for p in pairs), dtype=np.int64,
+                             count=n_pairs)
+            lb = np.fromiter((len(p[1]) for p in pairs), dtype=np.int64,
+                             count=n_pairs)
+        hostm = (np.maximum(la, lb) <= self.host_threshold) | (
+            np.minimum(la, lb) == 0)
+        for i in np.flatnonzero(hostm):
+            a, b = pairs[i]
+            ma, mi, go, ge = scores[i]
+            out[i] = oracle.align_semi_global(a, b, ma, -abs(mi), go, ge)
+        delta = np.abs(la - lb)
+        if ed_hint is not None:
+            h = np.asarray(ed_hint, dtype=np.int64)
+            w = np.where(h >= 0, 2 * (delta + 2 * h) + 64, 2 * delta + 256)
+        else:
+            w = 2 * delta + 256
+        # floor at 256 so one band shape covers the common case (keeps
+        # the compiled-shape set small; escalation still doubles)
+        band_arr = np.maximum(
+            256, 1 << np.ceil(np.log2(np.maximum(w, 64))).astype(np.int64))
+        todo = [int(i) for i in np.flatnonzero(~hostm)]
+        bands = {i: int(band_arr[i]) for i in todo}
 
         if self.native_cpu and todo:
-            self._align_native(pairs, scores, todo, out)
+            self._align_native(pairs, scores, todo, out, _idx=_idx)
             self.counters["align_seconds"] += time.perf_counter() - t_start
             return out  # type: ignore[return-value]
 
+        lmax = np.maximum(la, lb)
         while todo:
             next_round = []
             buckets: dict = {}
             for i in todo:
-                a, b = pairs[i]
-                ln = max(len(a), len(b))
+                ln = int(lmax[i])
                 if self.use_pallas:
                     Lb = self.pallas_L0
                     while Lb < ln:
@@ -1009,16 +1223,17 @@ class PairEngine:
                     launched.append(
                         (chunk, Wp, Lb,
                          self._launch_align(pairs, scores, chunk, Lb, Wp,
-                                            Bp))
+                                            Bp, _idx=_idx))
                     )
-            for chunk, Wp, Lb, handle in launched:
+            for chunk, Wp, Lb, handle in self._ready_iter(
+                    launched, lambda it: it[3][1][0]):
                 self._collect_align(pairs, chunk, Lb, Wp, handle, out,
                                     next_round, bands)
             todo = next_round
         self.counters["align_seconds"] += time.perf_counter() - t_start
         return out  # type: ignore[return-value]
 
-    def _align_native(self, pairs, scores, idxs, out):
+    def _align_native(self, pairs, scores, idxs, out, _idx=None):
         """CPU fast path: threaded C++ full-DP affine SG with traceback
         (native/affine_sg.cc, tie rules pinned to the oracle)."""
         from ..native import affine_sg_batch
@@ -1026,7 +1241,14 @@ class PairEngine:
         B = len(idxs)
         # interned host pool + one row gather (the native DP reads only
         # each row's length prefix)
-        q, qlen, t, tlen = self._host_pool.gather(pairs, idxs, self._enc)
+        if _idx is not None:
+            hp = self._host_pool
+            idx_arr = np.asarray(idxs, dtype=np.int64)
+            ra = self._host_rows_for(_idx[0][idx_arr])
+            rb = self._host_rows_for(_idx[1][idx_arr])
+            q, qlen, t, tlen = hp.mat[ra], hp.lens[ra], hp.mat[rb], hp.lens[rb]
+        else:
+            q, qlen, t, tlen = self._host_pool.gather(pairs, idxs, self._enc)
         sc = np.zeros((B, 4), dtype=np.int64)
         for pos, i in enumerate(idxs):
             ma, mi, go, ge = scores[i]
@@ -1035,7 +1257,8 @@ class PairEngine:
         self._collect_align(pairs, idxs, q.shape[1], 0, ("raw", outs), out,
                             [], {})
 
-    def _launch_align(self, pairs, scores, chunk, Lb, Wp, Bp=None):
+    def _launch_align(self, pairs, scores, chunk, Lb, Wp, Bp=None,
+                      _idx=None):
         B = len(chunk)
         if Bp is None:
             Bp = self.batch_pairs
@@ -1055,12 +1278,20 @@ class PairEngine:
             mi = np.full(Bp, -2, dtype=np.int16)
             go = np.full(Bp, 2, dtype=np.int16)
             ge = np.full(Bp, 0, dtype=np.int16)
-            for pos, i in enumerate(chunk):
-                a, b = pairs[i]
-                ia[pos] = pool.intern(a, self._enc)
-                ib[pos] = pool.intern(b, self._enc)
-                m_, x_, o_, e_ = scores[i]
-                ma[pos], mi[pos], go[pos], ge[pos] = m_, -abs(x_), o_, e_
+            if _idx is not None:
+                chunk_arr = np.asarray(chunk, dtype=np.int64)
+                ia[:B] = self._pool_rows_for(pool, Lb, _idx[0][chunk_arr])
+                ib[:B] = self._pool_rows_for(pool, Lb, _idx[1][chunk_arr])
+                for pos, i in enumerate(chunk):
+                    m_, x_, o_, e_ = scores[i]
+                    ma[pos], mi[pos], go[pos], ge[pos] = m_, -abs(x_), o_, e_
+            else:
+                for pos, i in enumerate(chunk):
+                    a, b = pairs[i]
+                    ia[pos] = pool.intern(a, self._enc)
+                    ib[pos] = pool.intern(b, self._enc)
+                    m_, x_, o_, e_ = scores[i]
+                    ma[pos], mi[pos], go[pos], ge[pos] = m_, -abs(x_), o_, e_
             dev_mat, dev_lens = pool.device_arrays(self._pool_sharding())
             if self.sharder is not None:
                 outs = self.sharder.sg_align_pool(

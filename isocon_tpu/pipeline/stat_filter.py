@@ -122,22 +122,25 @@ def stat_filter_candidates(read_file, candidate_file, read_partition,
         modified = False
 
         # per-round scratch artifacts, matching the reference's disk-IPC
-        # spill for mid-run inspectability (``:257-263,280-282``)
-        with open(os.path.join(params.outfolder,
-                               "temp_candidates_step_{0}.fa".format(step)),
-                  "w") as fh:
-            for c_acc, c_seq in C.items():
-                fh.write(">{0}\n{1}\n".format(c_acc, c_seq))
+        # spill for mid-run inspectability (``:257-263,280-282``); guarded
+        # like candidates.py so library callers without an outfolder work
+        if params.outfolder:
+            with open(os.path.join(params.outfolder,
+                                   "temp_candidates_step_{0}.fa".format(step)),
+                      "w") as fh:
+                for c_acc, c_seq in C.items():
+                    fh.write(">{0}\n{1}\n".format(c_acc, c_seq))
 
         if realignment_to_avoid_local_max == 1:
             to_realign = dict(X)
             read_partition = {c_acc: {} for c_acc in C}
 
         if to_realign:
-            with open(os.path.join(params.outfolder,
-                                   "remaining_to_align.fa"), "w") as fh:
-                for r_acc, r_seq in to_realign.items():
-                    fh.write(">{0}\n{1}\n".format(r_acc, r_seq))
+            if params.outfolder:
+                with open(os.path.join(params.outfolder,
+                                       "remaining_to_align.fa"), "w") as fh:
+                    for r_acc, r_seq in to_realign.items():
+                        fh.write(">{0}\n{1}\n".format(r_acc, r_seq))
             # 2-set NN assignment + alignments (``:278-316``)
             nn2 = nearest_neighbors_2set(to_realign, C, engine)
             partition_of_realigned = greedy_bipartite_assignment(

@@ -97,13 +97,29 @@ def test_reference_parity_fastq(tmp_path):
            "(the fastq smoke above covers parity in the default tier)",
 )
 def test_reference_parity_n200(tmp_path):
+    _run_parity_dataset("simulated_pacbio_reads_n_200.fa", tmp_path, 900)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("ISOCON_RUN_SLOW"),
+    reason="~4 min CPU parity run on the n_1000 dataset; "
+           "set ISOCON_RUN_SLOW=1",
+)
+def test_reference_parity_n1000(tmp_path):
+    """A larger dataset in CI so a kernel tie-break regression that only
+    shifts decisions on big inputs fails the slow tier rather than a
+    manual re-certification (PARITY.md covers all four datasets)."""
+    _run_parity_dataset("simulated_pacbio_reads_n_1000.fa", tmp_path, 2400)
+
+
+def _run_parity_dataset(reads_name, tmp_path, base_timeout):
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts",
                                       "run_reference_parity.py"),
-         os.path.join(REFERENCE,
-                      "test/data/simulated_pacbio_reads_n_200.fa"),
+         os.path.join(REFERENCE, "test/data", reads_name),
          str(tmp_path)],
-        capture_output=True, text=True, timeout=_scaled_timeout(900),
+        capture_output=True, text=True,
+        timeout=_scaled_timeout(base_timeout),
     )
     assert r.returncode == 0, r.stderr[-2000:]
     res = json.loads(r.stdout.strip().splitlines()[-1])
