@@ -1,12 +1,22 @@
-"""10k-read FULL-pipeline benchmark (BASELINE.json config 2).
+"""10k-100k-read FULL-pipeline benchmark (BASELINE.json config 2).
 
-Generates a deterministic synthetic 10,000-read dataset (26 isoforms of a
-2-exon-structure gene family, ~1% read noise), runs the complete
-`pipeline` (phase 1 candidates + phase 2 statistical filter), and prints
-one JSON line with per-phase wall-clock (from the run's own logfile),
-engine counters, and isoform precision/recall over final_candidates.fa.
-Targets: phase 1 < 300 s on the TPU; phase 2 exercises the stat-filter
-loop at ~1.6k-candidate scale (round-3 VERDICT #6).
+Generates a deterministic synthetic dataset (26 isoforms per gene
+family: 13 exon-combination variants x 2 SNV haplotypes, ~1% read
+noise), runs the complete `pipeline` (phase 1 candidates + phase 2
+statistical filter), and prints one JSON line with per-phase wall-clock
+(from the run's own logfile), engine counters, a host-vs-device split
+(host_other_seconds = wall - engine ed/align time: the graph/stats/IO
+work that must not grow superlinearly), and isoform precision/recall
+over final_candidates.fa.
+
+Family count scales with read depth (one family per 10k reads, override
+with ISOCON_BENCH_FAMILIES): a 50k-read amplicon experiment covers more
+genes, not 25x deeper coverage of one, so per-read NN windows stay at
+realistic cluster sizes while every host structure (pair cache, engine
+table, partition, stat filter) sees the full read count.  Family 0 uses
+the round-2 fixed exon lengths, so `bench_10k.py 10000` reproduces the
+BENCH_10K workload exactly; further families draw their exon lengths
+from the same seeded rng.
 
 Usage: python scripts/bench_10k.py [n_reads] [outdir]
 """
@@ -22,22 +32,25 @@ sys.path.insert(0, ".")
 
 N_READS = int(sys.argv[1]) if len(sys.argv) > 1 else 10000
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/isocon_bench10k"
+FAMILIES = int(os.environ.get("ISOCON_BENCH_FAMILIES",
+                              max(1, N_READS // 10000)))
+
+COMBOS = [
+    (0, 1, 2, 3, 4, 5), (0, 1, 2, 3, 4), (0, 1, 2, 4, 5),
+    (0, 2, 3, 4, 5), (0, 1, 3, 4, 5), (0, 1, 2, 3, 5),
+    (0, 2, 4, 5), (0, 1, 3, 5), (0, 2, 3, 4), (0, 1, 2, 4),
+    (0, 3, 4, 5), (0, 1, 4, 5), (0, 2, 3, 5),
+]
 
 
-def make_isoforms(rng):
+def make_family(rng, exon_lens):
     """26 isoforms: 13 exon-combination variants x 2 SNV haplotypes."""
     exons = [
         "".join(rng.choice("ACGT") for _ in range(ln))
-        for ln in (350, 200, 300, 250, 400, 150)
-    ]
-    combos = [
-        (0, 1, 2, 3, 4, 5), (0, 1, 2, 3, 4), (0, 1, 2, 4, 5),
-        (0, 2, 3, 4, 5), (0, 1, 3, 4, 5), (0, 1, 2, 3, 5),
-        (0, 2, 4, 5), (0, 1, 3, 5), (0, 2, 3, 4), (0, 1, 2, 4),
-        (0, 3, 4, 5), (0, 1, 4, 5), (0, 2, 3, 5),
+        for ln in exon_lens
     ]
     isoforms = []
-    for combo in combos:
+    for combo in COMBOS:
         seq = "".join(exons[e] for e in combo)
         isoforms.append(seq)
         # second haplotype: 3 SNVs spread across the isoform
@@ -46,6 +59,14 @@ def make_isoforms(rng):
             p = int(len(bl) * frac)
             bl[p] = {"A": "C", "C": "G", "G": "T", "T": "A"}[bl[p]]
         isoforms.append("".join(bl))
+    return isoforms
+
+
+def make_isoforms(rng, families=1):
+    isoforms = make_family(rng, (350, 200, 300, 250, 400, 150))
+    for _f in range(1, families):
+        lens = tuple(int(rng.randrange(120, 450)) for _ in range(6))
+        isoforms.extend(make_family(rng, lens))
     return isoforms
 
 
@@ -67,7 +88,7 @@ def noisy_copy(rng, s, error_rate=0.01):
 
 def main():
     rng = random.Random(123)
-    isoforms = make_isoforms(rng)
+    isoforms = make_isoforms(rng, FAMILIES)
     os.makedirs(OUT, exist_ok=True)
     read_file = os.path.join(OUT, "reads_%d.fa" % N_READS)
     if not os.path.exists(read_file):
@@ -96,13 +117,15 @@ def main():
         os.path.join(outdir, "final_candidates.fa"))}
     recovered = sum(1 for iso in isoforms if iso in finals)
     true_pos = sum(1 for seq in finals if seq in set(isoforms))
-    print(json.dumps({
+    out = {
         "n_reads": N_READS,
+        "families": FAMILIES,
         "pipeline_seconds": round(dt, 1),
         "phase1_seconds": rec.get("phase1_seconds"),
         "phase2_seconds": rec.get("phase2_seconds"),
         "engine": {k: rec[k] for k in
-                   ("ed_pairs", "ed_seconds", "ed_calls", "align_pairs",
+                   ("ed_pairs", "ed_seconds", "ed_calls",
+                    "ed_max_collect_seconds", "align_pairs",
                     "align_seconds", "align_calls") if k in rec},
         "phase1_candidates": len(phase1),
         "final_candidates": len(finals),
@@ -110,7 +133,14 @@ def main():
         "isoforms_total": len(isoforms),
         "recall": round(recovered / len(isoforms), 4),
         "precision": round(true_pos / max(len(finals), 1), 4),
-    }))
+    }
+    # host-vs-device split: everything the engine cannot attribute to
+    # kernel batches (graph bookkeeping, partitioning, stats, IO) -- the
+    # term that must stay ~linear in n_reads (round-4 VERDICT #3)
+    if "ed_seconds" in rec and "align_seconds" in rec:
+        out["host_other_seconds"] = round(
+            dt - rec["ed_seconds"] - rec["align_seconds"], 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
