@@ -177,3 +177,40 @@ def test_greedy_bipartite():
     assert got["c2"] == {"r1", "r3", "r4"}
     assert got["c1"] == {"r2"}
     assert got["c3"] == set()
+
+def test_nearest_neighbors_multi_slab(monkeypatch):
+    """Tiny slab budget forces many slabs per round: the pair cache must
+    carry certified results across slab boundaries (and its log-
+    structured runs must merge correctly under interleaved lookups)."""
+    import isocon_tpu.graph.nn as nn_mod
+
+    monkeypatch.setattr(nn_mod, "_SLAB_ENTRIES", 8)
+    rng = random.Random(5)
+    seqs = make_cluster_data(rng, n_clusters=4, per=5)
+    converged = [False] * len(seqs)
+    eng = PairEngine(batch_pairs=16)
+    got = nearest_neighbors(seqs, converged, eng, k0=7)
+    want = brute_nn(seqs, converged)
+    assert got == want
+
+
+def test_nearest_neighbors_2set_multi_slab(monkeypatch):
+    import isocon_tpu.graph.nn as nn_mod
+
+    monkeypatch.setattr(nn_mod, "_SLAB_ENTRIES", 8)
+    rng = random.Random(6)
+    targets = {f"c{i}": rand_seq(rng, 50 + i) for i in range(5)}
+    queries = {}
+    for i in range(15):
+        base = targets[f"c{rng.randrange(5)}"]
+        queries[f"r{i}"] = mutate(rng, base, rng.randrange(0, 5))
+    eng = PairEngine(batch_pairs=16)
+    got = nearest_neighbors_2set(queries, targets, eng, k0=7)
+    for qa, qs in queries.items():
+        ds = {ca: oracle.edit_distance(qs, cs) for ca, cs in targets.items()}
+        ds = {ca: d for ca, d in ds.items() if 0 <= d <= len(qs)}
+        if ds:
+            m = min(ds.values())
+            assert got[qa] == {ca: d for ca, d in ds.items() if d == m}, qa
+        else:
+            assert got[qa] == {}
