@@ -18,9 +18,16 @@ initial upper bound best_ed = len(query) (``:129``) -- queries whose
 nearest neighbor is farther than their own length end up isolated
 (``compute_nearest_neighbor_graph``'s ``isolated`` set, ``:267-273``).
 
-The per-query ``lower_target_edit_distances`` seeding (``:125-129``) and the
-running-bound window shrinking are pure pruning in the reference; they do
-not change the result and have no analog here.
+The reference's running-bound window shrinking (``:155-178``: after a
+neighbor at distance d is found, only targets with |len diff| <= d can
+still beat or tie it, since ed >= |len diff|) has a batched analog here:
+each slab computes a narrow seed sub-window (|len diff| <= _SEED_K)
+first, takes the per-query best certified distance as the bound, and
+only then computes the remaining entries within |len diff| <= bound.
+Entries beyond the bound provably cannot change the minimum or its tie
+set, so the result is identical while the kernel volume drops to what
+the reference's pruned expansion would visit (~40-60%% of the full
+window on clustered reads).
 """
 from __future__ import annotations
 
@@ -44,6 +51,7 @@ def _sorted_order(seqs: Sequence[str]) -> np.ndarray:
 
 _BIG = np.int64(2 ** 30)
 _SLAB_ENTRIES = 4_000_000  # window-entry budget per bookkeeping slab
+_SEED_K = 16  # |len diff| of the seed sub-window (two-phase pruning)
 
 
 class _PairCache:
@@ -187,19 +195,36 @@ def nearest_neighbors(
             b = np.maximum(qrep, tgt)
             wkeys = a * n + b
             self_mask = tgt != qrep
+            ad = np.abs(lens[tgt] - lens[qrep])
 
-            ukeys = np.unique(wkeys[self_mask])
-            have, _v = cache.lookup(ukeys)
-            newkeys = ukeys[~have]
-            if newkeys.size:
-                na = newkeys // n
-                nb = newkeys % n
-                kcap = np.minimum(np.maximum(capfull[na], capfull[nb]), k)
-                eds, _ = engine.edit_distances_idx(
-                    ids[na], ids[nb], k_cap=kcap)
-                eds = np.asarray(eds)
-                good = eds >= 0
-                cache.insert(newkeys[good], eds[good])
+            def _compute(mask):
+                ukeys = np.unique(wkeys[mask])
+                have, _v = cache.lookup(ukeys)
+                newkeys = ukeys[~have]
+                if newkeys.size:
+                    na = newkeys // n
+                    nb = newkeys % n
+                    kcap = np.minimum(
+                        np.maximum(capfull[na], capfull[nb]), k)
+                    eds, _ = engine.edit_distances_idx(
+                        ids[na], ids[nb], k_cap=kcap)
+                    eds = np.asarray(eds)
+                    good = eds >= 0
+                    cache.insert(newkeys[good], eds[good])
+
+            # two-phase pruning (see module docstring): seed the narrow
+            # sub-window, bound each query by its best certified distance,
+            # then compute only entries that can still beat or tie it
+            _compute(self_mask & (ad <= _SEED_K))
+            present, vals = cache.lookup(wkeys)
+            vA = np.where(
+                present & self_mask & (vals > 0) & (vals <= caprep),
+                vals.astype(np.int64), _BIG)
+            bestA = np.minimum.reduceat(
+                np.concatenate([vA, [_BIG]]), cum)[: len(counts)]
+            bestA[counts == 0] = _BIG
+            bound = np.repeat(np.minimum(bestA, caps_all[sl]), counts)
+            _compute(self_mask & ~present & (ad > _SEED_K) & (ad <= bound))
 
             present, vals = cache.lookup(wkeys)
             v = np.where(
@@ -289,18 +314,32 @@ def nearest_neighbors_2set(
             qrep, tgt, caprep, cum, counts = _window_entries(
                 unresolved[sl], caps_all[sl], lo_all[sl], hi_all[sl])
             wkeys = qrep * nt + tgt
+            ad = np.abs(t_lens_sorted[tgt] - q_lens[qrep])
 
-            have, _v = cache.lookup(wkeys)
-            newkeys = np.unique(wkeys[~have])
-            if newkeys.size:
-                nq = newkeys // nt
-                ntt = newkeys % nt
-                kcap = np.minimum(q_lens[nq], k)
-                eds, _ = engine.edit_distances_idx(
-                    q_ids[nq], t_ids[ntt], k_cap=kcap)
-                eds = np.asarray(eds)
-                good = eds >= 0
-                cache.insert(newkeys[good], eds[good])
+            def _compute(mask):
+                have, _v = cache.lookup(wkeys[mask])
+                newkeys = np.unique(wkeys[mask][~have])
+                if newkeys.size:
+                    nq = newkeys // nt
+                    ntt = newkeys % nt
+                    kcap = np.minimum(q_lens[nq], k)
+                    eds, _ = engine.edit_distances_idx(
+                        q_ids[nq], t_ids[ntt], k_cap=kcap)
+                    eds = np.asarray(eds)
+                    good = eds >= 0
+                    cache.insert(newkeys[good], eds[good])
+
+            # two-phase pruning (module docstring); ed == 0 counts here
+            # (:341-424 allows exact matches), so the bound includes it
+            _compute(ad <= _SEED_K)
+            present, vals = cache.lookup(wkeys)
+            vA = np.where(present & (vals <= caprep),
+                          vals.astype(np.int64), _BIG)
+            bestA = np.minimum.reduceat(
+                np.concatenate([vA, [_BIG]]), cum)[: len(counts)]
+            bestA[counts == 0] = _BIG
+            bound = np.repeat(np.minimum(bestA, caps_all[sl]), counts)
+            _compute(~present & (ad > _SEED_K) & (ad <= bound))
 
             present, vals = cache.lookup(wkeys)
             v = np.where(present & (vals <= caprep),
