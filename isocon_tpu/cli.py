@@ -199,6 +199,8 @@ def run_stat_filter(params) -> None:
     else:
         to_realign = {acc: seq for acc, seq in read_fasta(params.fl_reads)}
     read_partition = {acc: {} for acc, _ in read_fasta(params.candidates)}
+    # phase 2 interns each read + candidate once per realignment round
+    engine.reserve_pool_rows(2 * len(set(to_realign.values())))
     with maybe_profile(params):
         stat_filter_candidates(
             params.fl_reads, params.candidates, read_partition, to_realign,

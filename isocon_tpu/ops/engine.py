@@ -191,7 +191,7 @@ class _SeqPool:
     re-transfer of the same ~2 kb reads in every window pair.
     """
 
-    def __init__(self, L: int):
+    def __init__(self, L: int, min_rows: int = 0):
         self.L = L
         self.rows: dict = {}
         cap = 4096
@@ -205,6 +205,12 @@ class _SeqPool:
         self.version = 0
         self._dev = None  # (version, padded_rows, dev_mat, dev_lens)
         self._dev_rows = 0  # rows already valid in the device buffer
+        # device-row floor: big runs reserve their expected cumulative
+        # intern count up front so R (a compiled-shape dimension) never
+        # jumps mid-run -- mid-run jumps trigger fresh kernel compiles
+        # while the device queue is deep, which the remote compile
+        # service handles poorly (engine.reserve_pool_rows)
+        self.min_rows = int(min_rows)
 
     def intern(self, seq: str, enc) -> int:
         r = self.rows.get(seq)
@@ -242,7 +248,7 @@ class _SeqPool:
         # compiled shape for every (L, batch) combination, and compiles over
         # the host link cost seconds each
         R = 4096
-        while R < self.n:
+        while R < self.n or R < self.min_rows:
             R *= 4
         if self._dev is None or self._dev[0] != self.version or (
             self._dev[1] != R
@@ -465,6 +471,53 @@ class PairEngine:
 
     def clear_cache(self):
         self._enc_cache.clear()
+
+    def reserve_pool_rows(self, n: int) -> None:
+        """Reserve device-pool capacity for an expected number of interned
+        sequences (across ALL rounds of a run -- callers pass ~4x the
+        unique-read count).  Keeps R, a compiled-shape dimension, fixed
+        from the first launch so no kernel shape ever compiles mid-run
+        with a deep device queue (see _SeqPool.min_rows).  Only pools
+        created after this call pick the floor up; call before the first
+        edit_distances of a run.  A floor below the 16384 ladder step is
+        ignored so small runs keep the seeded shape set."""
+        n = int(n)
+        if n <= 16384:
+            return
+        self._pool_reserve = n
+        for pool in self._pools.values():
+            pool.min_rows = max(pool.min_rows, n)
+
+    _pool_reserve = 0
+
+    def _get_pool(self, Lb: int) -> _SeqPool:
+        pool = self._pools.get(Lb)
+        if pool is None:
+            pool = self._pools[Lb] = _SeqPool(Lb,
+                                              min_rows=self._pool_reserve)
+        return pool
+
+    _RETRY_DELAYS = (15.0, 60.0)  # drain pauses between kernel-call retries
+
+    @classmethod
+    def _kernel_retry(cls, fn, *args, **kw):
+        """Transient-failure guard around device kernel calls: the remote
+        compile service occasionally 500s when a new shape is compiled
+        while the device queue is deep (observed on the 50k scale run).
+        Compiles raise synchronously at call time, so a drain pause plus
+        retry recovers; a persistent error propagates on the last try."""
+        for attempt, delay in enumerate(cls._RETRY_DELAYS + (None,)):
+            try:
+                return fn(*args, **kw)
+            except Exception as e:
+                transient = ("remote_compile" in str(e)
+                             or "INTERNAL" in str(e))
+                if delay is None or not transient:
+                    raise
+                if _DEBUG:
+                    print("engine.retry kernel call (attempt %d): %s"
+                          % (attempt + 1, str(e)[:200]), flush=True)
+                time.sleep(delay)
 
     # ------------------------------------------------------------------
     # engine-owned sequence table (index API)
@@ -706,9 +759,7 @@ class PairEngine:
                     # slices instead of re-interning pair by pair.  On the
                     # index API this is a rowmap gather with no per-pair
                     # Python at all.
-                    pool = self._pools.get(Lb)
-                    if pool is None:
-                        pool = self._pools[Lb] = _SeqPool(Lb)
+                    pool = self._get_pool(Lb)
                     if _idx is not None:
                         ia_all = self._pool_rows_for(
                             pool, Lb, _idx[0][idxs_arr])
@@ -943,9 +994,7 @@ class PairEngine:
         if myers_path:
             # device-resident pool path: only int32 row indices per pair
             # cross the host link; the kernel gathers rows on device
-            pool = self._pools.get(Lb)
-            if pool is None:
-                pool = self._pools[Lb] = _SeqPool(Lb)
+            pool = self._get_pool(Lb)
             if rows is not None:
                 ia, ib, qlen, tlen = rows
             else:
@@ -987,24 +1036,26 @@ class PairEngine:
                 # wavefront for the ends-ignored candidate graph rounds
                 # (~1.5-3 s/call there vs one Myers sweep here)
                 if self.sharder is not None:
-                    ed, ej = self.sharder.myers_hw_pool(
+                    ed, ej = self._kernel_retry(
+                        self.sharder.myers_hw_pool,
                         dev_mat, dev_lens, ia, ib, L=Lb, sub=sub_L, win=win)
                 else:
                     from .myers_pallas import myers_hw_pool
 
-                    ed, ej = myers_hw_pool(dev_mat, dev_lens, ia, ib, L=Lb,
-                                           sub=sub_L, win=win,
-                                           interpret=self.interpret)
+                    ed, ej = self._kernel_retry(
+                        myers_hw_pool, dev_mat, dev_lens, ia, ib, L=Lb,
+                        sub=sub_L, win=win, interpret=self.interpret)
                 return ("myers_hw", win), B, ed, ej, qlen, tlen
             if self.sharder is not None:
-                ed = self.sharder.myers_ed_pool(dev_mat, dev_lens, ia, ib,
-                                                L=Lb, sub=sub_L, win=win)
+                ed = self._kernel_retry(
+                    self.sharder.myers_ed_pool, dev_mat, dev_lens, ia, ib,
+                    L=Lb, sub=sub_L, win=win)
             else:
                 from .myers_pallas import myers_ed_pool
 
-                ed = myers_ed_pool(dev_mat, dev_lens, ia, ib, L=Lb,
-                                   sub=sub_L, win=win,
-                                   interpret=self.interpret)
+                ed = self._kernel_retry(
+                    myers_ed_pool, dev_mat, dev_lens, ia, ib, L=Lb,
+                    sub=sub_L, win=win, interpret=self.interpret)
             return ("myers", win), B, ed, tlen, qlen, tlen
 
         cap = min(self.ed_batch, self.batch_pairs)
@@ -1029,9 +1080,7 @@ class PairEngine:
             if self.sharder is not None:
                 mult = self.sharder.n * (128 if Wp == 128 else 1)
                 Bp = -(-Bp // mult) * mult
-            pool = self._pools.get(Lb)
-            if pool is None:
-                pool = self._pools[Lb] = _SeqPool(Lb)
+            pool = self._get_pool(Lb)
             if rows is not None:
                 ia = np.zeros(Bp, dtype=np.int32)
                 ib = np.zeros(Bp, dtype=np.int32)
@@ -1056,13 +1105,15 @@ class PairEngine:
                       and (self.interpret or not self._cpu_backend))
             dev_mat, dev_lens = pool.device_arrays(self._pool_sharding())
             if self.sharder is not None:
-                ed, ej = self.sharder.banded_ed_pool(
+                ed, ej = self._kernel_retry(
+                    self.sharder.banded_ed_pool,
                     dev_mat, dev_lens, ia, ib, Wp=Wp, L=Lb, hw_mode=hw_mode,
                     small=small, kernel="pallas" if use_pl else "scan")
             else:
                 from .wavefront import banded_ed_pool
 
-                ed, ej = banded_ed_pool(
+                ed, ej = self._kernel_retry(
+                    banded_ed_pool,
                     dev_mat, dev_lens, ia, ib, Wp=Wp, L=Lb, hw_mode=hw_mode,
                     small=small, kernel="pallas" if use_pl else "scan",
                     interpret=self.interpret)
@@ -1269,9 +1320,7 @@ class PairEngine:
             # pooled Pallas path: gather sequences on device, return packed
             # 2-bit opcodes (the host link is the bottleneck, ~8 KB/pair
             # otherwise)
-            pool = self._pools.get(Lb)
-            if pool is None:
-                pool = self._pools[Lb] = _SeqPool(Lb)
+            pool = self._get_pool(Lb)
             ia = np.zeros(Bp, dtype=np.int32)
             ib = np.zeros(Bp, dtype=np.int32)
             ma = np.full(Bp, 2, dtype=np.int16)
@@ -1305,7 +1354,8 @@ class PairEngine:
             assert Lb % 128 == 0 and Wp % 256 == 0 and Bp % 2 == 0
             from .affine_pallas_c import sg_align_pool_pallas_c
 
-            (buf,) = sg_align_pool_pallas_c(
+            (buf,) = self._kernel_retry(
+                sg_align_pool_pallas_c,
                 dev_mat, dev_lens, ia, ib, ma, mi, go, ge, Wp=Wp, L=Lb,
                 fuse_out=True, interpret=self.interpret)
             return ("pallas1", (buf, Bp))

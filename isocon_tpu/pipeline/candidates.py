@@ -147,6 +147,11 @@ def find_candidate_transcripts(read_file: str, params, engine):
     else:
         S = {acc: seq for acc, seq in read_fasta(read_file)}
     original_reads = dict(S)
+    # cumulative unique-sequence count over all correction rounds is
+    # ~3.5x the initial uniques (each round re-interns the corrected
+    # strings); reserving it keeps the device-pool shape fixed for the
+    # whole run (PairEngine.reserve_pool_rows -- no-op on small runs)
+    engine.reserve_pool_rows(4 * len(set(S.values())))
 
     step = 1
     exon_filtered: Set[str] = set()

@@ -141,3 +141,60 @@ def test_pair_cache_runs_match_flat():
     ks = cache.keys
     vs = cache.vals
     assert dict(zip(ks.tolist(), vs.tolist())) == ref
+
+
+def test_kernel_retry_transient(monkeypatch):
+    monkeypatch.setattr(PairEngine, "_RETRY_DELAYS", (0.01,))
+    calls = {"n": 0}
+
+    def flaky(x):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("INTERNAL: remote_compile: HTTP 500")
+        return x + 1
+
+    assert PairEngine._kernel_retry(flaky, 41) == 42
+    assert calls["n"] == 2
+
+
+def test_kernel_retry_nontransient_raises(monkeypatch):
+    monkeypatch.setattr(PairEngine, "_RETRY_DELAYS", (0.01,))
+
+    def broken(_x):
+        raise ValueError("band escalation failed")
+
+    with pytest.raises(ValueError):
+        PairEngine._kernel_retry(broken, 0)
+
+
+def test_kernel_retry_persistent_raises(monkeypatch):
+    monkeypatch.setattr(PairEngine, "_RETRY_DELAYS", (0.01, 0.01))
+    calls = {"n": 0}
+
+    def always(_x):
+        calls["n"] += 1
+        raise RuntimeError("INTERNAL: remote_compile down")
+
+    with pytest.raises(RuntimeError):
+        PairEngine._kernel_retry(always, 0)
+    assert calls["n"] == 3
+
+
+def test_reserve_pool_rows():
+    eng = PairEngine(batch_pairs=64)
+    eng.reserve_pool_rows(8000)       # below the 16384 ladder: ignored
+    assert eng._pool_reserve == 0
+    eng.reserve_pool_rows(40000)
+    pool = eng._get_pool(256)
+    assert pool.min_rows == 40000
+    # the device R ladder starts at the reserved step (4096 * 4^k)
+    R = 4096
+    while R < pool.min_rows:
+        R *= 4
+    assert R == 65536
+    # reservation also lifts pools that already exist
+    eng2 = PairEngine(batch_pairs=64)
+    p0 = eng2._get_pool(256)
+    assert p0.min_rows == 0
+    eng2.reserve_pool_rows(40000)
+    assert p0.min_rows == 40000
