@@ -31,9 +31,12 @@ window on clustered reads).
 """
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
+
+_NN_DEBUG = bool(os.environ.get("ISOCON_NN_DEBUG"))
 
 
 def _sorted_order(seqs: Sequence[str]) -> np.ndarray:
@@ -211,11 +214,12 @@ def nearest_neighbors(
                     eds = np.asarray(eds)
                     good = eds >= 0
                     cache.insert(newkeys[good], eds[good])
+                return newkeys.size
 
             # two-phase pruning (see module docstring): seed the narrow
             # sub-window, bound each query by its best certified distance,
             # then compute only entries that can still beat or tie it
-            _compute(self_mask & (ad <= _SEED_K))
+            nA = _compute(self_mask & (ad <= _SEED_K))
             present, vals = cache.lookup(wkeys)
             vA = np.where(
                 present & self_mask & (vals > 0) & (vals <= caprep),
@@ -224,7 +228,13 @@ def nearest_neighbors(
                 np.concatenate([vA, [_BIG]]), cum)[: len(counts)]
             bestA[counts == 0] = _BIG
             bound = np.repeat(np.minimum(bestA, caps_all[sl]), counts)
-            _compute(self_mask & ~present & (ad > _SEED_K) & (ad <= bound))
+            nB = _compute(self_mask & ~present & (ad > _SEED_K) & (ad <= bound))
+            if _NN_DEBUG:
+                seeded = int((bestA < _BIG).sum())
+                print("nn.slab k=%d nq=%d entries=%d computedA=%d "
+                      "seeded=%d computedB=%d" % (
+                          k, len(counts), int(counts.sum()),
+                          nA, seeded, nB), flush=True)
 
             present, vals = cache.lookup(wkeys)
             v = np.where(

@@ -166,6 +166,24 @@ def _pool_delta_update(flat, delta, off):
     return fn(flat, packed, off)
 
 
+_FILL_JITS: dict = {}
+
+
+def _pool_sentinel_fill(size: int):
+    """Device-side sentinel fill: a fresh reserved pool buffer costs no
+    wire at all (a full put of a 262144-row reservation would ship
+    R*L/2 bytes of mostly padding over the thin host link)."""
+    import jax
+
+    fn = _FILL_JITS.get(size)
+    if fn is None:
+        import jax.numpy as jnp
+
+        fn = _FILL_JITS[size] = jax.jit(
+            lambda: jnp.full((size,), 6, dtype=jnp.int8))
+    return fn()
+
+
 _FULL_JITS: dict = {}
 
 
@@ -250,6 +268,20 @@ class _SeqPool:
         R = 4096
         while R < self.n or R < self.min_rows:
             R *= 4
+        if self.mat.shape[0] < R:
+            # a reserved floor (min_rows) can push R past the host
+            # arrays' capacity, which otherwise only grows with intern().
+            # Grow to R so mat[:R]/lens[:R] are real rows: a short put
+            # used to ship a truncated buffer, and later delta offsets
+            # past its end were CLAMPED by dynamic_update_slice --
+            # silently corrupting the device pool (found on the 50k-read
+            # scale run: every ED against a row >= the truncated size
+            # came back garbage, and the NN search escalated forever).
+            mat = np.full((R, self.L), 6, dtype=np.int8)
+            mat[: self.n] = self.mat[: self.n]
+            lens = np.ones(R, dtype=np.int32)
+            lens[: self.n] = self.lens[: self.n]
+            self.mat, self.lens = mat, lens
         if self._dev is None or self._dev[0] != self.version or (
             self._dev[1] != R
         ):
@@ -275,6 +307,20 @@ class _SeqPool:
                     )
                 else:
                     flat = self._full_put(R, sharding)
+            elif (sharding is None and self.min_rows > 4096
+                    and 4 * self.n <= R):
+                # fresh mostly-empty reserved buffer: sentinel-fill on
+                # device and splice in just the real rows.  Gated on a
+                # reservation being active so small (seeded-cache) runs
+                # keep their exact compiled-shape set.
+                nrows = 1
+                while nrows < self.n:
+                    nrows *= 2
+                delta = np.full((nrows, self.L), 6, dtype=np.int8)
+                delta[: self.n] = self.mat[: self.n]
+                flat = _pool_delta_update(
+                    _pool_sentinel_fill(R * self.L),
+                    delta.reshape(-1), np.int32(0))
             else:
                 flat = self._full_put(R, sharding)
             self._dev = (

@@ -99,6 +99,44 @@ def test_seq_pool_delta_push():
         assert (got[r, : len(e)] == e).all(), s
 
 
+def test_seq_pool_reserved_beyond_host_cap():
+    """A reserved row floor above the host arrays' capacity must still
+    produce a correct device pool across delta pushes.
+
+    Regression: with ``min_rows`` > the lazily-grown host capacity,
+    ``device_arrays`` shipped a TRUNCATED buffer (mat[:R] of a shorter
+    mat) and later delta offsets past its end were clamped by
+    dynamic_update_slice, silently corrupting rows -- every ED against a
+    corrupted row came back wrong and the 50k-read NN search escalated
+    its k rounds forever (round-5 scale run)."""
+    from isocon_tpu.ops.encode import encode_seq
+    from isocon_tpu.ops.engine import _SeqPool
+
+    rng = random.Random(7)
+    L = 64
+    pool = _SeqPool(L, min_rows=20000)  # R ladder -> 65536 >> host cap 4096
+    enc = encode_seq
+
+    def rs(n):
+        return "".join(rng.choice("ACGT") for _ in range(n))
+
+    seqs = [rs(rng.randrange(10, 60)) for _ in range(6000)]
+    for s in seqs[:3000]:
+        pool.intern(s, enc)
+    m1, _l1 = pool.device_arrays()
+    assert np.asarray(m1).size == 65536 * L
+    for s in seqs[3000:]:  # crosses the original 4096-row host cap
+        pool.intern(s, enc)
+    m2, l2 = pool.device_arrays()  # delta push into the reserved buffer
+    got = np.asarray(m2).reshape(-1, L)
+    lens = np.asarray(l2)
+    for s in seqs[::97] + seqs[-5:]:
+        r = pool.rows[s]
+        e = enc(s)
+        assert lens[r] == len(s)
+        assert (got[r, : len(e)] == e).all(), s
+
+
 def test_engine_myers_window_escalation():
     """Band escalation stays on the Myers pool path: pairs whose ED is
     uncertifiable at win=7 (radius 96) certify at win=9 and must match the
