@@ -731,21 +731,23 @@ class PairEngine:
                     d = oracle.edit_distance(a, b)
                     ed_out[i] = d if d <= caps[i] else -1
                     ej_out[i] = len(b)
-        rest = [int(i) for i in np.flatnonzero(~(diff_skip | empty | hostm))]
+        # kept as an ndarray end to end: boxing ~850k ints per call back
+        # into a Python list was measurable at 50k scale
+        rest = np.flatnonzero(~(diff_skip | empty | hostm))
         # escalation-termination guard, hoisted: _len_bucket is monotone,
         # so the per-pair max equals the bucket of the global max length
         # (the old per-round 44M-pair genexpr was ~80 s of a 10k profile)
         _guard = 4 * _len_bucket(int(np.maximum(la, lb).max())
                                  if n_pairs else 1) + 256
 
-        if self.native_cpu and rest:
+        if self.native_cpu and rest.size:
             self._ed_native(pairs, rest, caps, hw_mode, ed_out, ej_out,
                             _idx=_idx)
             self.counters["ed_seconds"] += time.perf_counter() - t_start
             return ed_out, ej_out
 
         Wp = self.w0
-        while rest:
+        while len(rest):
             # Tiny rounds cost more in device round-trips than in CPU DP:
             # an HW-mode pooled wavefront call has ~1.5-3 s of sequential
             # lax.scan + tunnel cost almost regardless of B (measured
@@ -882,7 +884,7 @@ class PairEngine:
                         ed_out[i] = -1
                     else:
                         next_round.append(int(i))
-            rest = next_round
+            rest = np.asarray(next_round, dtype=np.int64)
             Wp *= 2
             if Wp > _guard:
                 raise RuntimeError("band escalation failed to terminate")
